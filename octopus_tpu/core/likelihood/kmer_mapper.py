@@ -1,0 +1,125 @@
+"""Vectorised k-mer anchor mapping of reads onto haplotypes.
+
+Capability-equivalent to the reference's kmer mapper
+(src/utils/kmer_mapper.hpp:19-60 and haplotype_likelihood_array.cpp usage):
+6-mers of each read vote for candidate mapping offsets on the haplotype, and
+the offsets with the maximum vote count (up to 10, ascending) become the
+pair-HMM anchor candidates.
+
+Hash parity detail: the reference's perfect_hash maps A->0/C->1/G->2/T->3 and
+every other character (including N) to 0, i.e. N collides with A; we
+reproduce that so anchor sets match.
+
+Everything here is batch numpy: one call processes all reads of a sample
+against one haplotype with bincount joins — no per-read python loops over
+haplotype positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K = 6
+NUM_KMERS = 4 ** K
+MAX_MAPPING_POSITIONS = 10
+
+_POW4 = (4 ** np.arange(K)).astype(np.int64)
+
+
+def kmer_hashes(codes: np.ndarray) -> np.ndarray:
+    """Rolling K-mer perfect hashes of a base-code array (N folded to A)."""
+    folded = np.where(codes >= 4, 0, codes).astype(np.int64)
+    n = len(folded)
+    if n < K:
+        return np.zeros(0, dtype=np.int64)
+    # windows (n-K+1, K) via stride trick on a contiguous copy
+    win = np.lib.stride_tricks.sliding_window_view(folded, K)
+    return win @ _POW4
+
+
+class HaplotypeKmerIndex:
+    """CSR index of one haplotype's K-mer positions."""
+
+    def __init__(self, hap_codes: np.ndarray):
+        hashes = kmer_hashes(hap_codes)
+        self.n_kmers = len(hashes)
+        order = np.argsort(hashes, kind="stable")
+        self.positions = order.astype(np.int64)        # hap positions sorted by hash
+        counts = np.bincount(hashes, minlength=NUM_KMERS)
+        self.starts = np.zeros(NUM_KMERS + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.starts[1:])
+
+    def map_reads(
+        self,
+        read_hashes_flat: np.ndarray,
+        read_offsets: np.ndarray,
+        max_positions: int = MAX_MAPPING_POSITIONS,
+    ) -> list[np.ndarray]:
+        """Anchor offsets per read.
+
+        read_hashes_flat: concatenated K-mer hashes of all reads;
+        read_offsets: (n_reads+1,) into it.  Returns a list of int arrays of
+        best mapping begin positions (may be empty).
+        """
+        n_reads = len(read_offsets) - 1
+        if self.n_kmers == 0 or len(read_hashes_flat) == 0:
+            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+        q = read_hashes_flat
+        # per query kmer: matching slice of self.positions
+        lo = self.starts[q]
+        hi = self.starts[q + 1]
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+        # expand matches: for each query index i, positions[lo[i]:hi[i]]
+        rep = np.repeat(np.arange(len(q)), cnt)
+        intra = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        hap_pos = self.positions[np.repeat(lo, cnt) + intra]
+        # read id and in-read kmer index per match
+        read_of = np.searchsorted(read_offsets, rep, side="right") - 1
+        j = rep - read_offsets[read_of]
+        begin = hap_pos - j
+        valid = begin >= 0
+        read_of, begin = read_of[valid], begin[valid]
+        out: list[np.ndarray] = []
+        if len(begin) == 0:
+            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+        # vote histogram per (read, begin)
+        max_begin = int(begin.max()) + 1
+        key = read_of * max_begin + begin
+        votes = np.bincount(key, minlength=n_reads * max_begin).reshape(n_reads, max_begin)
+        best = votes.max(axis=1)
+        for r in range(n_reads):
+            if best[r] == 0:
+                out.append(np.zeros(0, np.int64))
+            else:
+                pos = np.flatnonzero(votes[r] == best[r])[:max_positions]
+                out.append(pos.astype(np.int64))
+        return out
+
+
+def read_kmer_hashes(seq_flat: np.ndarray, seq_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """K-mer hashes for a ragged read batch.
+
+    Returns (hashes_flat, hash_offsets) with one rolling-hash row per read.
+    """
+    n = len(seq_offsets) - 1
+    lens = np.diff(seq_offsets)
+    out_lens = np.maximum(lens - K + 1, 0)
+    hash_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=hash_offsets[1:])
+    parts = []
+    for i in range(n):
+        parts.append(kmer_hashes(seq_flat[seq_offsets[i]:seq_offsets[i + 1]]))
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    return flat, hash_offsets
+
+
+__all__ = [
+    "K",
+    "MAX_MAPPING_POSITIONS",
+    "kmer_hashes",
+    "read_kmer_hashes",
+    "HaplotypeKmerIndex",
+]

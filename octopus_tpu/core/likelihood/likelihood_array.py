@@ -1,0 +1,377 @@
+"""The read x haplotype log-likelihood matrix, computed in device batches.
+
+Capability-equivalent to the reference's HaplotypeLikelihoodArray
+(src/core/models/haplotype_likelihood_array.cpp:51-150), redesigned for TPU:
+instead of looping (haplotype, read) pairs through a SIMD kernel on threads,
+all pairs of an active region are packed into fixed-shape buckets and scored
+in a handful of `pairhmm_scores` launches.
+
+Per window:
+1. per-haplotype penalty tracks from the error models (host numpy);
+2. k-mer anchor candidates per (read, haplotype) (vectorised bincount joins);
+3. the reference's naive shortcuts (exact match / single mismatch with gap
+   checks, pair_hmm.hpp:278-319) evaluated for ALL candidate positions at
+   once with suffix-equality cumulative products — the large majority of
+   pairs never reach the HMM;
+4. remaining (read, haplotype, anchor) jobs bucketed by read length, padded
+   to the lane width, scored on device; max over anchors per pair;
+5. flank-state discounting via the host traceback path for the (few) reads
+   overlapping haplotype flanks;
+6. mapping-quality mixture and final clamping
+   (haplotype_likelihood_model.cpp:285-303).
+
+Output: per sample, an (n_haplotypes, n_reads) float64 matrix with entries
+matching the reference bit-for-bit in score space.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ...basics.phred import LN10_DIV_10
+from ...basics.reads import ReadBatch
+from . import pairhmm_ref as ph
+from .error_models import (
+    RepeatBasedIndelErrorModel,
+    RepeatBasedSnvErrorModel,
+    make_error_models,
+)
+from .kmer_mapper import HaplotypeKmerIndex, read_kmer_hashes
+from .pairhmm_batch import LANES, PAD_CODE, pairhmm_scores
+
+
+@dataclass
+class LikelihoodConfig:
+    """Mirrors HaplotypeLikelihoodModel::Config (haplotype_likelihood_model.hpp:36-44)."""
+
+    use_mapping_quality: bool = True
+    mapping_quality_cap: int = 120
+    mapping_quality_cap_trigger: int | None = None
+    use_flank_state: bool = True
+    max_indel_error: int = 8          # == pair-HMM band size / pad
+    error_model: str = "PCR-FREE.HISEQ-2500"
+    length_bucket: int = 32           # read-length bucket granularity
+    nuc_prior: int = 2
+
+
+@dataclass
+class FlankState:
+    lhs_flank: int
+    rhs_flank: int
+
+
+@dataclass
+class HaplotypePenalties:
+    codes: np.ndarray
+    gap_open: np.ndarray
+    gap_extend: np.ndarray
+    snv_mask_fwd: np.ndarray | None
+    snv_prior_fwd: np.ndarray | None
+    snv_mask_rev: np.ndarray | None
+    snv_prior_rev: np.ndarray | None
+
+
+class HaplotypeLikelihoodArray:
+    """Computes and stores per-sample (H, R) log-likelihood matrices."""
+
+    def __init__(self, config: LikelihoodConfig | None = None):
+        self.config = config or LikelihoodConfig()
+        self._snv_model, self._indel_model = make_error_models(self.config.error_model)
+        self.likelihoods: list[np.ndarray] = []   # per sample (H, R)
+        self._n_haplotypes = 0
+
+    # -- public API --------------------------------------------------------
+
+    def populate(
+        self,
+        reads_by_sample: list[ReadBatch],
+        haplotypes: list[np.ndarray],
+        haplotype_begin: int,
+        flank_state: FlankState | None = None,
+        substitution_masks: list[np.ndarray] | None = None,
+    ) -> "HaplotypeLikelihoodArray":
+        """Score every read of every sample against every haplotype.
+
+        haplotypes: list of base-code arrays, all laid over the same genomic
+        region starting at haplotype_begin.
+        """
+        cfg = self.config
+        pad = cfg.max_indel_error
+        self._n_haplotypes = len(haplotypes)
+        penalties = [
+            self._haplotype_penalties(h, None if substitution_masks is None else substitution_masks[i])
+            for i, h in enumerate(haplotypes)
+        ]
+        indices = [HaplotypeKmerIndex(h) for h in haplotypes]
+        self.likelihoods = []
+        for batch in reads_by_sample:
+            self.likelihoods.append(
+                self._populate_sample(batch, haplotypes, penalties, indices,
+                                      haplotype_begin, flank_state, pad)
+            )
+        return self
+
+    def sample_matrix(self, sample_idx: int) -> np.ndarray:
+        return self.likelihoods[sample_idx]
+
+    # -- internals ---------------------------------------------------------
+
+    def _haplotype_penalties(self, codes: np.ndarray, subst_mask) -> HaplotypePenalties:
+        indel = self._indel_model.set_penalties(codes)
+        if self._snv_model is not None:
+            snv = self._snv_model.evaluate(codes, subst_mask)
+            return HaplotypePenalties(
+                codes, indel.gap_open, indel.gap_extend,
+                snv.forward_mask, snv.forward_priors,
+                snv.reverse_mask, snv.reverse_priors,
+            )
+        return HaplotypePenalties(codes, indel.gap_open, indel.gap_extend,
+                                  None, None, None, None)
+
+    def _populate_sample(self, batch, haplotypes, penalties, indices,
+                         hap_begin, flank_state, pad):
+        n_reads = len(batch)
+        H = len(haplotypes)
+        out = np.full((H, n_reads), -np.inf, dtype=np.float64)
+        if n_reads == 0:
+            return np.zeros((H, 0), dtype=np.float64)
+        hashes_flat, hash_offsets = read_kmer_hashes(batch.seq, batch.seq_offsets)
+        lens = batch.lengths()
+        original = np.maximum(batch.begins - hap_begin, 0)
+        is_rev = batch.is_reverse()
+
+        # gather candidate jobs: (hap, read, position)
+        job_hap: list[int] = []
+        job_read: list[int] = []
+        job_pos: list[int] = []
+        for h in range(H):
+            hap_len = len(haplotypes[h])
+            anchors = indices[h].map_reads(hashes_flat, hash_offsets)
+            for r in range(n_reads):
+                cand = anchors[r]
+                orig = int(original[r])
+                if orig not in cand:
+                    cand = np.concatenate((cand, [orig]))
+                in_range = cand[(cand >= pad) & (cand + lens[r] + pad <= hap_len)]
+                if len(in_range) == 0:
+                    # shift the original position minimally into range
+                    pos = orig
+                    if pos < pad:
+                        pos = pad
+                    over = pos + int(lens[r]) + pad - hap_len
+                    if over > 0:
+                        pos -= over
+                    if pos < pad or pos + int(lens[r]) + pad > hap_len:
+                        raise ValueError(
+                            f"haplotype {h} too short for read {r} "
+                            f"(len {lens[r]}, hap {hap_len})"
+                        )
+                    in_range = np.asarray([pos])
+                for pos in in_range:
+                    job_hap.append(h)
+                    job_read.append(r)
+                    job_pos.append(int(pos))
+        job_hap = np.asarray(job_hap, np.int64)
+        job_read = np.asarray(job_read, np.int64)
+        job_pos = np.asarray(job_pos, np.int64)
+
+        # evaluate all jobs grouped by read-length bucket (lengths padded up
+        # to the bucket size with PAD_CODE/qual-0, which is score-exact)
+        job_ln = np.full(len(job_hap), -np.inf, dtype=np.float64)
+        job_lens = lens[job_read]
+        bucket = self.config.length_bucket
+        job_bucket = -(-job_lens // bucket) * bucket
+        for L in np.unique(job_bucket):
+            sel = np.flatnonzero(job_bucket == L)
+            job_ln[sel] = self._eval_jobs_fixed_len(
+                batch, haplotypes, penalties, int(L),
+                job_hap[sel], job_read[sel], job_pos[sel], job_lens[sel],
+                flank_state, pad, is_rev,
+            )
+
+        # reduce: max over candidate positions per (hap, read)
+        np.maximum.at(out, (job_hap, job_read), job_ln)
+
+        # mapping-quality mixture + clamp
+        if self.config.use_mapping_quality:
+            mq = batch.mapq.astype(np.float64)
+            trig = self.config.mapping_quality_cap_trigger
+            if trig is not None and trig < self.config.mapping_quality_cap:
+                mq = np.where(mq >= trig, self.config.mapping_quality_cap, mq)
+            ln_miss = -LN10_DIV_10 * mq
+            ln_mapped = np.log1p(-np.exp(ln_miss))
+            a = ln_mapped[None, :] + out
+            hi = np.maximum(a, ln_miss[None, :])
+            lo = np.minimum(a, ln_miss[None, :])
+            out = hi + np.log1p(np.exp(lo - hi))
+        out[out > -1e-15] = 0.0
+        return out
+
+    def _eval_jobs_fixed_len(self, batch, haplotypes, penalties, L,
+                             job_hap, job_read, job_pos, job_lens,
+                             flank_state, pad, is_rev):
+        """ln-likelihood for jobs whose reads all fit in length bucket L."""
+        n = len(job_hap)
+        cfg = self.config
+        # read matrices padded to the bucket length
+        starts = batch.seq_offsets[job_read]
+        col = np.arange(L)
+        valid = col[None, :] < job_lens[:, None]
+        gather = starts[:, None] + np.minimum(col, job_lens[:, None] - 1)
+        tgt = np.where(valid, batch.seq[gather], PAD_CODE).astype(np.int16)
+        quals = np.where(valid, batch.quals[gather], 0).astype(np.int16)
+
+        # ---- naive shortcuts (vectorised) --------------------------------
+        ln = np.full(n, np.nan)
+        done = np.zeros(n, bool)
+        # window at the exact offset
+        w0 = np.empty((n, L), np.int16)
+        hap_len = np.asarray([len(haplotypes[h]) for h in job_hap])
+        for h in np.unique(job_hap):
+            hsel = np.flatnonzero(job_hap == h)
+            codes = haplotypes[h]
+            idx = job_pos[hsel][:, None] + col
+            w0[hsel] = codes[np.minimum(idx, len(codes) - 1)].astype(np.int16)
+        mism = (tgt != w0) & valid
+        n_mism = mism.sum(axis=1)
+        done[n_mism == 0] = True
+        ln[n_mism == 0] = 0.0
+        one = np.flatnonzero(n_mism == 1)
+        if len(one):
+            i = np.argmax(mism[one], axis=1)
+            rows = one
+            truth_idx = job_pos[rows] + i
+            q = quals[rows, i].astype(np.int64)
+            go = np.empty(len(rows), np.int64)
+            ge = np.empty(len(rows), np.int64)
+            capped = q.copy()
+            in_flank = np.zeros(len(rows), bool)
+            for k, row in enumerate(rows):
+                h = job_hap[row]
+                p = penalties[h]
+                ti = int(truth_idx[k])
+                go[k] = p.gap_open[ti]
+                ge[k] = p.gap_extend[ti]
+                mask = p.snv_mask_rev if is_rev[job_read[row]] else p.snv_mask_fwd
+                prior = p.snv_prior_rev if is_rev[job_read[row]] else p.snv_prior_fwd
+                if mask is not None and mask[ti] == tgt[row, i[k]]:
+                    capped[k] = min(capped[k], int(prior[ti]))
+                if flank_state is not None and cfg.use_flank_state:
+                    hl = len(haplotypes[h])
+                    if ti < flank_state.lhs_flank or ti >= hl - flank_state.rhs_flank:
+                        in_flank[k] = True
+            # suffix equality checks for single-base shifts
+            w1 = np.empty((len(rows), L), np.int16)
+            for h in np.unique(job_hap[rows]):
+                hsel = np.flatnonzero(job_hap[rows] == h)
+                codes = haplotypes[h]
+                idx = job_pos[rows[hsel]][:, None] + 1 + np.arange(L)
+                w1[hsel] = codes[np.minimum(idx, len(codes) - 1)].astype(np.int16)
+            # positions beyond the real read length always compare equal
+            A = (tgt[rows, 1:] == w0[rows, :-1]) | ~valid[rows, 1:]   # target[i+1+k] == truth[ti+k]
+            B = (tgt[rows] == w1) | ~valid[rows]                      # target[i+k] == truth[ti+1+k]
+            sufA = np.flip(np.cumprod(np.flip(A, axis=1), axis=1), axis=1)
+            sufB = np.flip(np.cumprod(np.flip(B, axis=1), axis=1), axis=1)
+            del_ok = np.where(i < L - 1, sufA[np.arange(len(rows)), np.minimum(i, L - 2)], True)
+            ins_ok = sufB[np.arange(len(rows)), i]
+            pen = np.where(capped <= go, capped,
+                   np.where(del_ok | ins_ok, go,
+                    np.where(capped <= go + ge, capped, -1)))
+            ok = (pen >= 0) | in_flank
+            pen = np.where(in_flank, 0, pen)
+            done[rows[ok]] = True
+            ln[rows[ok]] = -LN10_DIV_10 * pen[ok]
+
+        # ---- device HMM for the rest -------------------------------------
+        rest = np.flatnonzero(~done)
+        if len(rest):
+            ln[rest] = self._device_scores(batch, haplotypes, penalties, L,
+                                           job_hap[rest], job_read[rest],
+                                           job_pos[rest], job_lens[rest],
+                                           flank_state, pad,
+                                           is_rev, tgt[rest], quals[rest])
+        return ln
+
+    def _device_scores(self, batch, haplotypes, penalties, L, job_hap,
+                       job_read, job_pos, job_lens, flank_state, pad, is_rev,
+                       tgt, quals):
+        cfg = self.config
+        n = len(job_hap)
+        W = L + 2 * pad - 1
+        offset = np.maximum(job_pos - pad, 0)
+        win = np.zeros((n, W), np.int32)
+        opn = np.zeros((n, W), np.int32)
+        ext = np.zeros((n, W), np.int32)
+        mask = np.full((n, W), PAD_CODE, np.int32)
+        prior = np.zeros((n, W), np.int32)
+        wcol = np.arange(W)
+        flank_rows = []
+        for k in range(n):
+            h = job_hap[k]
+            p = penalties[h]
+            o = int(offset[k])
+            hl = len(p.codes)
+            # window may run past the haplotype end because of length-bucket
+            # padding; overflow cells are unreachable by real-read rows and
+            # get neutral fill (N bases, stiff gap penalties)
+            idx = np.minimum(o + wcol, hl - 1)
+            over = (o + wcol) >= hl
+            win[k] = np.where(over, 4, p.codes[idx])
+            opn[k] = np.where(over, 64, p.gap_open[idx])
+            ext[k] = np.where(over, 64, p.gap_extend[idx])
+            rev = is_rev[job_read[k]]
+            m = p.snv_mask_rev if rev else p.snv_mask_fwd
+            pr = p.snv_prior_rev if rev else p.snv_prior_fwd
+            if m is not None:
+                mask[k] = np.where(over, PAD_CODE, m[idx])
+                prior[k] = np.where(over, 0, pr[idx])
+            if flank_state is not None and cfg.use_flank_state:
+                if (job_pos[k] < flank_state.lhs_flank + pad
+                        or job_pos[k] + int(job_lens[k]) + pad > hl - flank_state.rhs_flank):
+                    flank_rows.append(k)
+
+        # pad batch to lane width and launch
+        n_pad = -n % LANES
+        if n_pad:
+            z = lambda a: np.concatenate([a, np.zeros((n_pad, a.shape[1]), a.dtype)])
+            tgt_p = np.concatenate([tgt.astype(np.int32),
+                                    np.full((n_pad, L), PAD_CODE, np.int32)])
+            qual_p = z(quals.astype(np.int32))
+            win_p, opn_p, ext_p, mask_p, prior_p = map(z, (win, opn, ext, mask, prior))
+        else:
+            tgt_p, qual_p = tgt.astype(np.int32), quals.astype(np.int32)
+            win_p, opn_p, ext_p, mask_p, prior_p = win, opn, ext, mask, prior
+        scores = np.asarray(pairhmm_scores(
+            tgt_p, qual_p, win_p, opn_p, ext_p, mask_p, prior_p,
+            pad=pad, nuc_prior=cfg.nuc_prior,
+        ))[:n]
+        ln = -LN10_DIV_10 * scores.astype(np.float64)
+
+        # flank discount: host traceback for reads overlapping flanks
+        for k in flank_rows:
+            h = job_hap[k]
+            p = penalties[h]
+            rev = is_rev[job_read[k]]
+            params = ph.HmmParams(
+                gap_open=p.gap_open, gap_extend=p.gap_extend,
+                snv_mask=(p.snv_mask_rev if rev else p.snv_mask_fwd),
+                snv_prior=(p.snv_prior_rev if rev else p.snv_prior_fwd),
+                nuc_prior=cfg.nuc_prior,
+                lhs_flank=flank_state.lhs_flank,
+                rhs_flank=flank_state.rhs_flank,
+            )
+            rl = int(job_lens[k])
+            ln[k] = ph.hmm_evaluate(
+                p.codes, tgt[k, :rl].astype(np.uint8), quals[k, :rl].astype(np.uint8),
+                int(job_pos[k]), params, pad=pad,
+            )
+        return ln
+
+
+__all__ = [
+    "HaplotypeLikelihoodArray",
+    "LikelihoodConfig",
+    "FlankState",
+]

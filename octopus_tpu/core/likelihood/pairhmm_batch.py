@@ -1,0 +1,240 @@
+"""Batched pair-HMM scoring on device (XLA + Pallas TPU kernel).
+
+The hot loop of the whole engine (reference: simd_pair_hmm.hpp:240-324 runs
+once per read x haplotype pair on CPU SIMD).  Here thousands of pairs are
+scored per launch:
+
+* layout: pair batch on the 128-wide lane axis, the band of D = 2*pad
+  diagonals on the sublane axis; states M/I/D are (D, B) arrays updated in a
+  row wavefront over read positions;
+* all penalties for row y (match, insertion charge, deletion charge) live in
+  rows of ONE window slice of the truth-side arrays at offset y-1
+  (truth index (y-1)+d for lane d), so each row does a single dynamic slice
+  per input track;
+* deletions (a within-row tropical chain over diagonals) use a log2(D)-step
+  min-plus prefix scan;
+* ragged read lengths are exact via PAD_CODE/quality-0 padding: pad rows cost
+  0 along diagonal match moves and can never create cheaper paths, so the
+  final row's band minimum equals the true score;
+* the reference's parity rule (gap ops may only start an alignment at odd
+  truth offsets — see pairhmm_ref.banded_score) is reproduced so scores are
+  bit-identical to the reference kernel.
+
+Two implementations with identical semantics:
+  - `pairhmm_scores_xla`: pure jnp/lax, jitted; runs anywhere.
+  - `pairhmm_scores_pallas`: Pallas TPU kernel, grid over pair blocks,
+    truth-side tracks resident in VMEM and sliced per row with pl.ds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...basics.sequence import N
+
+INF = 1 << 29
+N_SCORE = 2
+PAD_CODE = 5            # read padding: mismatches everything, costs 0 at qual 0
+LANES = 128             # pair-block width on the lane axis
+DEFAULT_NUC_PRIOR = 2
+
+
+def _shift_down(a, fill):
+    """Rows shift toward higher index: out[d] = a[d-1]; out[0] = fill."""
+    return jnp.concatenate([jnp.full((1,) + a.shape[1:], fill, a.dtype), a[:-1]], axis=0)
+
+
+def _shift_up(a, fill):
+    """out[d] = a[d+1]; out[D-1] = fill."""
+    return jnp.concatenate([a[1:], jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+
+def _deletion_scan(bv, ev, D):
+    """Inclusive min-plus prefix scan of affine maps f_d: v -> min(bv[d], v+ev[d]).
+
+    Returns the chain value at each lane when the chain is fed v=INF.
+    """
+    s = 1
+    while s < D:
+        bl = jnp.concatenate(
+            [jnp.full((s,) + bv.shape[1:], INF, bv.dtype), bv[:-s]], axis=0)
+        el = jnp.concatenate(
+            [jnp.zeros((s,) + ev.shape[1:], ev.dtype), ev[:-s]], axis=0)
+        bv = jnp.minimum(bv, bl + ev)
+        ev = el + ev
+        s *= 2
+    return bv
+
+
+def _match_cost(t_row, q_row, w_win, mask_win, prior_win):
+    """(D, B) match penalties: read base t_row vs window rows."""
+    t = t_row[None, :]
+    q = q_row[None, :]
+    capped = jnp.where(mask_win == t, jnp.minimum(q, prior_win), q)
+    pen = jnp.where(t == w_win, 0, capped)
+    return jnp.where(w_win == N, jnp.minimum(pen, N_SCORE), pen)
+
+
+def _wavefront(R, D, B, read_row, win_slice, nuc_prior):
+    """Generic banded wavefront.
+
+    read_row(y) -> (t_row, q_row) each (B,) for read position y-1.
+    win_slice(y) -> (w, opn, ext, mask, prior) each (D, B), rows at truth
+    index (y-1)+d.
+    Returns (B,) int32 scores.
+    """
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0) % 2 == 1)
+    M0 = jnp.zeros((D, B), jnp.int32)
+    M0_gap = jnp.where(d_odd, 0, INF).astype(jnp.int32)
+    I0 = jnp.full((D, B), INF, jnp.int32)
+    # row-0 deletion chain: D0[d] = min(M0_gap[d-1] + opn[d-1], D0[d-1] + ext[d-1])
+    _, opn0, ext0, _, _ = win_slice(0)  # rows at truth index d-1 ... use y=0 slice
+    # win_slice(0) rows map to truth index (0-1)+d = d-1 conceptually; we pass
+    # y=0 and the callers implement the off-by-one via shifting row 0 in.
+    D0 = _deletion_scan(_shift_down(M0_gap, INF) + opn0, ext0, D)
+
+    def body(y, state):
+        M, Ii, Dd = state
+        t_row, q_row = read_row(y)
+        w_win, opn_win, ext_win, mask_win, prior_win = win_slice(y)
+        cm = _match_cost(t_row, q_row, w_win, mask_win, prior_win)
+        Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
+        # gap ops out of row 0 may only start at odd offsets
+        M_for_gap = jnp.where(y == 1, M0_gap, M)
+        In = nuc_prior + jnp.minimum(
+            _shift_up(M_for_gap, INF) + opn_win,
+            _shift_up(Ii, INF) + ext_win,
+        )
+        base = jnp.minimum(Mn, In)
+        Dn = _deletion_scan(_shift_down(base, INF) + opn_win, ext_win, D)
+        return Mn, In, Dn
+
+    M, Ii, Dd = jax.lax.fori_loop(1, R + 1, body, (M0, I0, D0))
+    return jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
+
+
+def _hmm_rows(tgt, qual, win, opn, ext, mask, prior, pad, nuc_prior):
+    """XLA value-based wavefront; arrays (L, B) int32, returns (B,) scores."""
+    R, B = tgt.shape
+    D = 2 * pad
+
+    def read_row(y):
+        return (
+            jax.lax.dynamic_index_in_dim(tgt, y - 1, axis=0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(qual, y - 1, axis=0, keepdims=False),
+        )
+
+    def win_slice(y):
+        if isinstance(y, int) and y == 0:
+            # rows at truth index d-1: shift the [0:D] block down by one
+            return (None, _shift_down(opn[0:D], INF), _shift_down(ext[0:D], 0), None, None)
+        off = y - 1
+        f = lambda a: jax.lax.dynamic_slice_in_dim(a, off, D, axis=0)
+        return f(win), f(opn), f(ext), f(mask), f(prior)
+
+    return _wavefront(R, D, B, read_row, win_slice, nuc_prior)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior"))
+def pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                       nuc_prior=DEFAULT_NUC_PRIOR):
+    """Pure-XLA batched scorer.
+
+    Inputs are (B, R) / (B, W) int32 arrays (batch-major); returns (B,) int32
+    phred scores."""
+    args = [jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior)]
+    return _hmm_rows(*args, pad, nuc_prior)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _pallas_kernel(tgt_ref, qual_ref, win_ref, opn_ref, ext_ref, mask_ref,
+                   prior_ref, out_ref, *, R, pad, nuc_prior):
+    D = 2 * pad
+    B = tgt_ref.shape[1]
+
+    def read_row(y):
+        t = tgt_ref[pl.ds(y - 1, 1), :]
+        q = qual_ref[pl.ds(y - 1, 1), :]
+        return t[0], q[0]
+
+    def win_slice(y):
+        if isinstance(y, int) and y == 0:
+            return (
+                None,
+                _shift_down(opn_ref[0:D, :], INF),
+                _shift_down(ext_ref[0:D, :], 0),
+                None,
+                None,
+            )
+        off = y - 1
+        return (
+            win_ref[pl.ds(off, D), :],
+            opn_ref[pl.ds(off, D), :],
+            ext_ref[pl.ds(off, D), :],
+            mask_ref[pl.ds(off, D), :],
+            prior_ref[pl.ds(off, D), :],
+        )
+
+    out_ref[0, :] = _wavefront(R, D, B, read_row, win_slice, nuc_prior)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
+def pairhmm_scores_pallas(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                          nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
+    """Pallas TPU batched scorer; B must be a multiple of LANES.
+
+    Same input convention as pairhmm_scores_xla ((B, R)/(B, W) int32).
+    """
+    B, R = tgt.shape
+    W = win.shape[1]
+    assert W == R + 2 * pad - 1, (W, R, pad)
+    assert B % LANES == 0, B
+    grid = (B // LANES,)
+
+    def tspec(L):
+        return pl.BlockSpec((L, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    args = [jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior)]
+    kernel = functools.partial(_pallas_kernel, R=R, pad=pad, nuc_prior=nuc_prior)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        grid=grid,
+        in_specs=[tspec(R), tspec(R), tspec(W), tspec(W), tspec(W), tspec(W), tspec(W)],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * R * 2 * pad * B, bytes_accessed=(2 * R + 5 * W) * B * 4, transcendentals=0
+        ),
+    )(*args)
+    return out[0]
+
+
+def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                   nuc_prior=DEFAULT_NUC_PRIOR):
+    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    platform = jax.default_backend()
+    if platform == "tpu" and tgt.shape[0] % LANES == 0:
+        return pairhmm_scores_pallas(tgt, qual, win, opn, ext, mask, prior,
+                                     pad=pad, nuc_prior=nuc_prior)
+    return pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior,
+                              pad=pad, nuc_prior=nuc_prior)
+
+
+__all__ = [
+    "pairhmm_scores",
+    "pairhmm_scores_xla",
+    "pairhmm_scores_pallas",
+    "PAD_CODE",
+    "LANES",
+    "INF",
+]
