@@ -89,9 +89,10 @@ def _wavefront(R, D, B, read_row, win_slice, nuc_prior):
     index (y-1)+d.
     Returns (B,) int32 scores.
     """
-    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0) % 2 == 1)
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2 == 1)
     M0 = jnp.zeros((D, B), jnp.int32)
-    M0_gap = jnp.where(d_odd, 0, INF).astype(jnp.int32)
+    M0_gap = jnp.where(d_odd, jnp.zeros((D, B), jnp.int32),
+                       jnp.full((D, B), INF, jnp.int32))
     I0 = jnp.full((D, B), INF, jnp.int32)
     # row-0 deletion chain: D0[d] = min(M0_gap[d-1] + opn[d-1], D0[d-1] + ext[d-1])
     _, opn0, ext0, _, _ = win_slice(0)  # rows at truth index d-1 ... use y=0 slice
@@ -99,14 +100,11 @@ def _wavefront(R, D, B, read_row, win_slice, nuc_prior):
     # y=0 and the callers implement the off-by-one via shifting row 0 in.
     D0 = _deletion_scan(_shift_down(M0_gap, INF) + opn0, ext0, D)
 
-    def body(y, state):
-        M, Ii, Dd = state
+    def step(y, M, M_for_gap, Ii, Dd):
         t_row, q_row = read_row(y)
         w_win, opn_win, ext_win, mask_win, prior_win = win_slice(y)
         cm = _match_cost(t_row, q_row, w_win, mask_win, prior_win)
         Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
-        # gap ops out of row 0 may only start at odd offsets
-        M_for_gap = jnp.where(y == 1, M0_gap, M)
         In = nuc_prior + jnp.minimum(
             _shift_up(M_for_gap, INF) + opn_win,
             _shift_up(Ii, INF) + ext_win,
@@ -115,7 +113,16 @@ def _wavefront(R, D, B, read_row, win_slice, nuc_prior):
         Dn = _deletion_scan(_shift_down(base, INF) + opn_win, ext_win, D)
         return Mn, In, Dn
 
-    M, Ii, Dd = jax.lax.fori_loop(1, R + 1, body, (M0, I0, D0))
+    # row 1 peeled: gap ops out of row 0 may only start at odd offsets, so
+    # its insertion transition sees the parity-masked M0 (a traced-scalar
+    # select inside the loop would break Mosaic lowering)
+    M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
+
+    def body(y, state):
+        M, Ii, Dd = state
+        return step(y, M, M, Ii, Dd)
+
+    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
     return jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 

@@ -1,0 +1,70 @@
+"""Genotype log-likelihood reductions over the read x haplotype matrix.
+
+Capability-equivalent to ConstantMixtureGenotypeLikelihoodModel
+(src/core/models/genotype/constant_mixture_genotype_likelihood_model.cpp):
+
+    ln p(reads | g) = sum_r [ ln sum_{h in g} exp(lnL[h, r]) - ln ploidy ]
+
+TPU design: instead of per-genotype loops, the inner logsumexp becomes an
+MXU matmul.  With per-read maxima m_r = max_h lnL[h, r] and
+E = exp(lnL - m) (H, R), the per-genotype mixture is C @ E where C is the
+(G, H) multiplicity matrix; then
+
+    L[g] = sum_r (log (C @ E)[g, r] + m_r) - R * ln ploidy.
+
+A float64 numpy path provides exact reference-parity values; callers use the
+device path for the full enumeration and (optionally) re-evaluate the top
+genotypes on the host for exact QUALs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types.genotypes import genotype_counts_matrix
+
+
+def genotype_log_likelihoods_np(lnL: np.ndarray, genotypes: np.ndarray) -> np.ndarray:
+    """Exact float64 host computation. lnL (H, R); genotypes (G, P)."""
+    G, P = genotypes.shape
+    if P == 0:
+        return np.zeros(G)
+    sub = lnL[genotypes]                  # (G, P, R)
+    m = sub.max(axis=1)                   # (G, R)
+    m_safe = np.where(np.isfinite(m), m, 0.0)
+    s = np.exp(sub - m_safe[:, None, :]).sum(axis=1)
+    per_read = m_safe + np.log(s) - np.log(P)
+    per_read = np.where(np.isfinite(m), per_read, -np.inf)
+    return per_read.sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy",))
+def _genotype_lls_device(lnL32, counts, ploidy):
+    # lnL32 (H, R) float32, counts (G, H) float32
+    m = jnp.max(lnL32, axis=0)                        # (R,)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    E = jnp.exp(lnL32 - m[None, :])                   # (H, R)
+    S = jnp.dot(counts, E, preferred_element_type=jnp.float32)  # (G, R)
+    per_read = jnp.log(S) + m[None, :] - np.log(ploidy)
+    return jnp.sum(per_read, axis=1)                  # (G,)
+
+
+def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
+                             device: bool = True) -> np.ndarray:
+    """Genotype log-likelihoods; device matmul path or exact host path."""
+    G, P = genotypes.shape
+    if P == 0 or lnL.shape[1] == 0:
+        return np.zeros(G)
+    if not device:
+        return genotype_log_likelihoods_np(lnL, genotypes)
+    counts = genotype_counts_matrix(genotypes, lnL.shape[0])
+    out = _genotype_lls_device(jnp.asarray(lnL, jnp.float32),
+                               jnp.asarray(counts), int(P))
+    return np.asarray(out, dtype=np.float64)
+
+
+__all__ = ["genotype_log_likelihoods", "genotype_log_likelihoods_np"]
