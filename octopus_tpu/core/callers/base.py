@@ -1,0 +1,181 @@
+"""Generic caller pipeline.
+
+Capability-equivalent to the reference's abstract Caller
+(src/core/callers/caller.{hpp,cpp}): owns the window algorithm —
+candidate generation, active-region proposal, haplotype enumeration,
+likelihood population, latent inference (subclass hook), and call
+construction (subclass hook).  Subclasses: individual, population, trio,
+cancer, polyclone, cell.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ...basics.phred import LN10_DIV_10
+from ...basics.reads import ReadBatch
+from ..hapgen.generator import (
+    enumerate_haplotypes,
+    group_exclusive_sites,
+    propose_active_regions,
+)
+from ..likelihood.likelihood_array import HaplotypeLikelihoodArray, LikelihoodConfig
+from ..models.coalescent import CoalescentModel, CoalescentParams
+from ..models.individual import logsumexp
+from ..tools.phaser import Phaser
+from ..types.haplotypes import Haplotype
+from ..types.variants import Variant
+from ..vargen.cigar_scanner import CigarScanner, ScannerOptions
+
+
+@dataclass
+class BaseCallerConfig:
+    ploidy: int = 2
+    min_variant_posterior_phred: float = 0.1
+    max_haplotypes: int = 200
+    snp_heterozygosity: float = 0.001
+    indel_heterozygosity: float = 0.0001
+    haplotype_pad: int = 30
+    likelihood: LikelihoodConfig = field(default_factory=LikelihoodConfig)
+    scanner: ScannerOptions = field(default_factory=ScannerOptions)
+    use_device: bool = True
+
+
+@dataclass
+class SiteCall:
+    """One called site (possibly multi-allelic), all samples."""
+
+    begin: int
+    end: int
+    alts: list[Variant]
+    quality: float
+    genotypes: list[list[int]]        # per sample: allele index per haplotype
+    genotype_qualities: list[float]   # per sample GQ
+    phase_set: int
+    alt_qualities: list[float]
+    info: dict = field(default_factory=dict)
+
+    # single-sample conveniences
+    @property
+    def genotype(self) -> list[int]:
+        return self.genotypes[0]
+
+    @property
+    def genotype_quality(self) -> float:
+        return self.genotype_qualities[0]
+
+
+@dataclass
+class ActiveRegionContext:
+    begin: int
+    end: int
+    variants: list[Variant]
+    haplotypes: list[Haplotype]
+    lnL: list[np.ndarray]             # per sample (H, R)
+    prior_model: CoalescentModel
+    contains: np.ndarray              # (n_variants, H) bool
+
+
+class CallerBase:
+    """Shared window pipeline; subclasses implement _infer_and_call."""
+
+    config: BaseCallerConfig
+
+    def __init__(self, reference, contig: str, config: BaseCallerConfig):
+        self.reference = reference
+        self.contig = contig
+        self.config = config
+
+    # -- pipeline ----------------------------------------------------------
+
+    def call(self, region_begin: int, region_end: int,
+             reads_by_sample: list[ReadBatch]) -> list[SiteCall]:
+        cfg = self.config
+        scanner = CigarScanner(self.reference, self.contig, cfg.scanner)
+        for s, batch in enumerate(reads_by_sample):
+            scanner.add_reads(s, batch)
+        candidates = scanner.generate(region_begin, region_end)
+        if not candidates:
+            return []
+        calls: list[SiteCall] = []
+        for begin, end, variants in propose_active_regions(candidates):
+            ctx = self._build_context(begin, end, variants, reads_by_sample)
+            if ctx is not None:
+                calls.extend(self._infer_and_call(ctx))
+        calls.sort(key=lambda c: (c.begin, c.end))
+        return calls
+
+    def _build_context(self, begin, end, variants,
+                       reads_by_sample) -> ActiveRegionContext | None:
+        cfg = self.config
+        pad = cfg.likelihood.max_indel_error
+        active = [b.overlapping(begin, end) for b in reads_by_sample]
+        if all(len(b) == 0 for b in active):
+            return None
+        lo = min([int(b.begins.min()) for b in active if len(b)] + [begin])
+        hi = max([int(b.ends.max()) for b in active if len(b)] + [end])
+        hap_begin = max(lo - (pad + cfg.haplotype_pad), 0)
+        hap_end = min(hi + (pad + cfg.haplotype_pad),
+                      self.reference.contig_size(self.contig))
+        fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
+        haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants, fetch,
+                                          cfg.max_haplotypes)
+        if len(haplotypes) < 2:
+            return None
+        lik = HaplotypeLikelihoodArray(cfg.likelihood)
+        lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
+                     substitution_masks=[h.substitution_mask() for h in haplotypes])
+        ref_hap = next((h for h in haplotypes if not h.variants), None)
+        if ref_hap is None:
+            ref_hap = Haplotype.build(hap_begin, hap_end, [], fetch)
+        prior_model = CoalescentModel(
+            ref_hap,
+            CoalescentParams(cfg.snp_heterozygosity, cfg.indel_heterozygosity),
+            indel_error_model=lik._indel_model,
+        )
+        prior_model.prime(haplotypes)
+        contains = np.zeros((len(variants), len(haplotypes)), dtype=bool)
+        for vi, v in enumerate(variants):
+            for hi_, h in enumerate(haplotypes):
+                contains[vi, hi_] = h.contains(v)
+        return ActiveRegionContext(
+            begin=begin, end=end, variants=variants, haplotypes=haplotypes,
+            lnL=[lik.sample_matrix(s) for s in range(len(active))],
+            prior_model=prior_model, contains=contains,
+        )
+
+    # -- subclass hook -----------------------------------------------------
+
+    def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
+        raise NotImplementedError
+
+    # -- shared call assembly ----------------------------------------------
+
+    @staticmethod
+    def make_site_alleles(ctx: ActiveRegionContext,
+                          site_groups: list[list[Variant]]) -> np.ndarray:
+        site_alleles = np.zeros((len(site_groups), len(ctx.haplotypes)), np.int32)
+        for si, group in enumerate(site_groups):
+            for gi, v in enumerate(group):
+                site_alleles[si][ctx.contains[ctx.variants.index(v)]] = gi + 1
+        return site_alleles
+
+
+def phred_not(log_posts: np.ndarray) -> float:
+    """phred(P(none of these)) from log posteriors of the complement set."""
+    if len(log_posts) == 0:
+        return math.inf
+    lse = min(logsumexp(log_posts), 0.0)
+    return -lse / LN10_DIV_10
+
+
+__all__ = [
+    "CallerBase",
+    "BaseCallerConfig",
+    "SiteCall",
+    "ActiveRegionContext",
+    "phred_not",
+]

@@ -55,14 +55,13 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
             ref_str = anchor + ref_str
             alt_strs = [anchor + a for a in alt_strs]
     qual = None if math.isinf(call.quality) else round(min(call.quality, 1e6), 2)
-    gt_sep = "|"
-    gt = gt_sep.join(str(a) for a in call.genotype)
-    gq = int(round(min(call.genotype_quality, 99.0)))
-    sample_values = [{
-        "GT": gt,
-        "GQ": gq,
-        "PS": str(call.phase_set + 1),
-    }]
+    sample_values = []
+    for s, gt_list in enumerate(call.genotypes):
+        sample_values.append({
+            "GT": "|".join(str(a) for a in gt_list),
+            "GQ": int(round(min(call.genotype_qualities[s], 99.0))),
+            "PS": str(call.phase_set + 1),
+        })
     return VcfRecord(
         chrom=contig,
         pos=pos,

