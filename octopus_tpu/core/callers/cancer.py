@@ -1,0 +1,218 @@
+"""Cancer (tumour +/- normal) caller.
+
+Capability-equivalent to the reference's CancerCaller
+(src/core/callers/cancer_caller.cpp): three competing models per region —
+
+* germline: all samples share one germline genotype (IndividualModel math),
+* CNV: germline genotype with free per-sample mixture weights (SubcloneModel
+  over the genotype's own haplotypes),
+* somatic: cancer genotypes (germline genotype + somatic haplotype) with
+  free weights (SomaticSubcloneModel);
+
+model posteriors combine evidences with the reference's priors
+(cancer_caller.cpp set_model_priors: with normal {.09,.01,.9}, without
+{.09,.001,.909}).  Somatic calls carry SOMATIC info and require the somatic
+model to dominate; germline calls marginalise over models.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..hapgen.generator import group_exclusive_sites
+from ..models.denovo import DeNovoModel, DeNovoParams
+from ..models.genotype_likelihoods import genotype_log_likelihoods_np
+from ..models.individual import logsumexp
+from ..models.subclone_vb import SubcloneModel
+from ..tools.phaser import Phaser
+from ..types.genotypes import generate_all_genotypes
+from .base import (
+    ActiveRegionContext,
+    BaseCallerConfig,
+    CallerBase,
+    SiteCall,
+    phred_not,
+)
+
+
+@dataclass
+class CancerCallerConfig(BaseCallerConfig):
+    normal_sample: int | None = None       # index into reads_by_sample
+    max_somatic_haplotypes: int = 2
+    min_somatic_posterior_phred: float = 2.0
+    somatic_snv_prior: float = 1e-4
+    somatic_indel_prior: float = 1e-5
+    tumour_germline_concentration: float = 1.5
+    somatic_concentration: float = 1.0
+    max_genotypes: int = 500
+
+
+class CancerCaller(CallerBase):
+    def __init__(self, reference, contig: str,
+                 config: CancerCallerConfig | None = None):
+        super().__init__(reference, contig, config or CancerCallerConfig())
+
+    def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
+        cfg = self.config
+        n_samples = len(ctx.lnL)
+        H = len(ctx.haplotypes)
+        genotypes = generate_all_genotypes(H, cfg.ploidy)
+        log_priors = ctx.prior_model.evaluate_many(genotypes)
+        likelihoods = np.stack([
+            genotype_log_likelihoods_np(ctx.lnL[s], genotypes)
+            for s in range(n_samples)])                      # (S, G)
+        # cap genotype space by joint score
+        if len(genotypes) > cfg.max_genotypes:
+            order = np.argsort(log_priors + likelihoods.sum(axis=0))[::-1]
+            keep = np.sort(order[:cfg.max_genotypes])
+            genotypes, log_priors = genotypes[keep], log_priors[keep]
+            likelihoods = likelihoods[:, keep]
+        G = len(genotypes)
+
+        # -- germline model evidence ---------------------------------------
+        germline_joint = log_priors + likelihoods.sum(axis=0)
+        germline_ev = logsumexp(germline_joint)
+        germline_post = np.exp(germline_joint - germline_ev)
+
+        # -- CNV model: free weights over the genotype's haplotypes --------
+        vb = SubcloneModel(n_seeds=2, n_iter=40)
+        cnv_conc = np.full(cfg.ploidy, cfg.tumour_germline_concentration, np.float32)
+        cnv_ev_by_g = np.zeros(G)
+        for s in range(n_samples):
+            inf = vb.evaluate(genotypes, ctx.lnL[s], alpha0_vec=cnv_conc)
+            cnv_ev_by_g += inf.genotype_log_evidences
+        cnv_joint = log_priors + cnv_ev_by_g
+        cnv_ev = logsumexp(cnv_joint)
+
+        # -- somatic model: genotype + one somatic haplotype ---------------
+        denovo = DeNovoModel(DeNovoParams(cfg.somatic_snv_prior, cfg.somatic_indel_prior))
+        cancer_tuples = []
+        cancer_meta = []       # (genotype_idx, somatic_hap)
+        cancer_prior = []
+        for gi in range(G):
+            g = genotypes[gi]
+            for h in range(H):
+                if h in g:
+                    continue
+                # somatic prior: P(somatic hap | closest germline hap)
+                lp_som = max(denovo.ln_probability(h, int(x), ctx.haplotypes)
+                             for x in g)
+                if not ctx.haplotypes[h].variants and lp_som == 0.0:
+                    continue
+                cancer_tuples.append(list(g) + [h])
+                cancer_meta.append((gi, h))
+                cancer_prior.append(log_priors[gi] + lp_som)
+        somatic_ev = -np.inf
+        somatic_post = None
+        if cancer_tuples:
+            tuples = np.asarray(cancer_tuples)
+            conc = np.concatenate([
+                np.full(cfg.ploidy, cfg.tumour_germline_concentration),
+                [cfg.somatic_concentration]]).astype(np.float32)
+            som_ev_by_t = np.zeros(len(tuples))
+            for s in range(n_samples):
+                if s == cfg.normal_sample:
+                    # normal sample: somatic haplotype should be (near) absent;
+                    # use germline likelihood of the genotype part
+                    som_ev_by_t += likelihoods[s][[m[0] for m in cancer_meta]]
+                else:
+                    inf = vb.evaluate(tuples, ctx.lnL[s], alpha0_vec=conc)
+                    som_ev_by_t += inf.genotype_log_evidences
+            somatic_joint = np.asarray(cancer_prior) + som_ev_by_t
+            somatic_ev = logsumexp(somatic_joint)
+            somatic_post = np.exp(somatic_joint - somatic_ev)
+
+        # -- model comparison ----------------------------------------------
+        if cfg.normal_sample is not None:
+            model_priors = np.log(np.asarray([0.09, 0.01, 0.9]))
+        else:
+            model_priors = np.log(np.asarray([0.09, 0.001, 0.909]))
+        evidences = np.asarray([germline_ev, cnv_ev, somatic_ev])
+        model_log_post = model_priors + evidences
+        model_log_post -= logsumexp(model_log_post)
+        model_post = np.exp(model_log_post)
+
+        return self._make_calls(ctx, genotypes, germline_post, model_post,
+                                cancer_meta, somatic_post)
+
+    def _make_calls(self, ctx, genotypes, germline_post, model_post,
+                    cancer_meta, somatic_post) -> list[SiteCall]:
+        cfg = self.config
+        log_g = np.log(np.clip(germline_post, 1e-300, None))
+        p_somatic_model = float(model_post[2])
+        somatic_wins = somatic_post is not None and p_somatic_model > 0.5
+        if somatic_wins:
+            map_meta = cancer_meta[int(np.argmax(somatic_post))]
+            map_g = genotypes[map_meta[0]]
+            log_s = np.log(np.clip(somatic_post, 1e-300, None))
+            meta_gi = np.asarray([m[0] for m in cancer_meta])
+            meta_h = np.asarray([m[1] for m in cancer_meta])
+        else:
+            map_g = genotypes[int(np.argmax(germline_post))]
+        called = []
+        somatic_calls = []
+        for vi, v in enumerate(ctx.variants):
+            has_v = ctx.contains[vi]
+            if somatic_wins:
+                germ_has = has_v[genotypes[meta_gi]].any(axis=1)
+                som_has = has_v[meta_h]
+                if has_v[map_g].any():
+                    phred = phred_not(log_s[~germ_has])
+                    if phred >= cfg.min_variant_posterior_phred:
+                        called.append((v, phred))
+                elif has_v[map_meta[1]]:
+                    mass = float(np.exp(log_s[som_has & ~germ_has]).sum())
+                    p_som = p_somatic_model * mass
+                    phred_som = -10 * math.log10(max(1 - p_som, 1e-300))
+                    if phred_som >= cfg.min_somatic_posterior_phred:
+                        somatic_calls.append((v, phred_som))
+            else:
+                g_has = has_v[genotypes].any(axis=1)
+                phred = phred_not(log_g[~g_has])
+                if phred >= cfg.min_variant_posterior_phred and has_v[map_g].any():
+                    called.append((v, phred))
+        out = []
+        out.extend(self._emit(ctx, genotypes, log_g, map_g, called, {}))
+        if somatic_calls:
+            out.extend(self._emit(ctx, genotypes, log_g, map_g, somatic_calls,
+                                  {"SOMATIC": True}))
+        return out
+
+    def _emit(self, ctx, genotypes, log_post, map_genotype, called, info):
+        if not called:
+            return []
+        site_groups = group_exclusive_sites([v for v, _ in called])
+        quality_of = {v: q for v, q in called}
+        site_alleles = self.make_site_alleles(ctx, site_groups)
+        n_samples = len(ctx.lnL)
+        out = []
+        for si, group in enumerate(site_groups):
+            hap_allele = site_alleles[si]
+            if info.get("SOMATIC"):
+                gts = [[0, 0, 1]] * n_samples      # presentation only
+                gqs = [quality_of[group[0]]] * n_samples
+            else:
+                gt = [int(hap_allele[h]) for h in map_genotype]
+                site_gt = np.sort(hap_allele[genotypes], axis=1)
+                matches = (site_gt == np.sort(np.asarray(gt))).all(axis=1)
+                gq = phred_not(log_post[~matches])
+                gts = [gt] * n_samples
+                gqs = [gq] * n_samples
+            out.append(SiteCall(
+                begin=min(v.begin for v in group),
+                end=max(v.end for v in group),
+                alts=list(group),
+                quality=max(quality_of[v] for v in group),
+                genotypes=gts,
+                genotype_qualities=gqs,
+                phase_set=group[0].begin,
+                alt_qualities=[quality_of[v] for v in group],
+                info=dict(info),
+            ))
+        return out
+
+
+__all__ = ["CancerCaller", "CancerCallerConfig"]
