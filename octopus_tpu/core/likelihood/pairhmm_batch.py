@@ -226,13 +226,105 @@ def pairhmm_scores_pallas(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     return out[0]
 
 
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel v2: match costs precomputed by XLA outside the kernel
+# (the in-kernel compare/select mix crashes the remote Mosaic compiler on
+# this toolchain); the kernel is the pure min-plus wavefront.
+# ---------------------------------------------------------------------------
+
+def _match_cost_tensor(tgt, qual, win, mask, prior, R, D):
+    """(R*D, B) match costs; row y*D+d pairs target[y] with window[y+d]."""
+    ids = jnp.arange(R)[:, None] + jnp.arange(D)[None, :]      # (R, D)
+    w_g = win[ids]                                              # (R, D, B)
+    m_g = mask[ids]
+    p_g = prior[ids]
+    t = tgt[:, None, :]
+    q = qual[:, None, :]
+    capped = jnp.where(m_g == t, jnp.minimum(q, p_g), q)
+    cm = jnp.where(t == w_g, 0, capped)
+    cm = jnp.where(w_g == N, jnp.minimum(cm, N_SCORE), cm)
+    return cm.reshape(R * D, -1)
+
+
+def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
+    D = 2 * pad
+    B = cm_ref.shape[1]
+    M0 = jnp.zeros((D, B), jnp.int32)
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2) == 1
+    M0_gap = jnp.where(d_odd, jnp.zeros((D, B), jnp.int32),
+                       jnp.full((D, B), INF, jnp.int32))
+    I0 = jnp.full((D, B), INF, jnp.int32)
+    D0 = _deletion_scan(
+        _shift_down(M0_gap, INF) + _shift_down(opn_ref[0:D, :], INF),
+        _shift_down(ext_ref[0:D, :], 0), D)
+
+    def step(y, M, M_for_gap, Ii, Dd):
+        cm = cm_ref[pl.ds((y - 1) * D, D), :]
+        opn_win = opn_ref[pl.ds(y - 1, D), :]
+        ext_win = ext_ref[pl.ds(y - 1, D), :]
+        Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
+        In = nuc_prior + jnp.minimum(
+            _shift_up(M_for_gap, INF) + opn_win,
+            _shift_up(Ii, INF) + ext_win,
+        )
+        Dn = _deletion_scan(_shift_down(jnp.minimum(Mn, In), INF) + opn_win,
+                            ext_win, D)
+        return Mn, In, Dn
+
+    M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
+
+    def body(y, st):
+        M, Ii, Dd = st
+        return step(y, M, M, Ii, Dd)
+
+    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
+    out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
+def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                             nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
+    """Pallas TPU scorer with XLA-precomputed match costs."""
+    B, R = tgt.shape
+    D = 2 * pad
+    W = win.shape[1]
+    assert W == R + 2 * pad - 1, (W, R, pad)
+    assert B % LANES == 0, B
+    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
+        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
+    cm = _match_cost_tensor(tgtT, qualT, winT, maskT, priorT, R, D)
+    kernel = functools.partial(_pallas_kernel_v2, R=R, pad=pad, nuc_prior=nuc_prior)
+
+    def tspec(L):
+        return pl.BlockSpec((L, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        grid=(B // LANES,),
+        in_specs=[tspec(R * D), tspec(W), tspec(W)],
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=25 * R * D * B, bytes_accessed=(R * D + 2 * W) * B * 4,
+            transcendentals=0),
+    )(cm, opnT, extT)
+    return out[0]
+
+
 def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                    nuc_prior=DEFAULT_NUC_PRIOR):
-    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    """Dispatch: Pallas v2 on TPU (if enabled), XLA elsewhere.
+
+    The Pallas path is opt-in via OCTOPUS_TPU_USE_PALLAS=1 until the remote
+    Mosaic toolchain stabilises; the XLA path is semantically identical.
+    """
+    import os
     platform = jax.default_backend()
-    if platform == "tpu" and tgt.shape[0] % LANES == 0:
-        return pairhmm_scores_pallas(tgt, qual, win, opn, ext, mask, prior,
-                                     pad=pad, nuc_prior=nuc_prior)
+    if (platform == "tpu" and tgt.shape[0] % LANES == 0
+            and os.environ.get("OCTOPUS_TPU_USE_PALLAS") == "1"):
+        return pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior,
+                                        pad=pad, nuc_prior=nuc_prior)
     return pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior,
                               pad=pad, nuc_prior=nuc_prior)
 

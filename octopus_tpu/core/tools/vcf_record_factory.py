@@ -23,6 +23,10 @@ def make_vcf_header(reference, contigs: list[str], samples: list[str]) -> VcfHea
         h.contigs.append((c, reference.contig_size(c)))
     h.add_info("DP", "1", "Integer", "Combined read depth")
     h.add_info("MP", "1", "Float", "Model posterior")
+    h.add_info("MQ", "1", "Float", "RMS mapping quality")
+    h.add_info("SOMATIC", "0", "Flag", "Somatic mutation call")
+    h.add_info("DENOVO", "0", "Flag", "De novo mutation call")
+    h.add_info("CLONES", "1", "Integer", "Inferred clone count")
     h.add_filter("PASS", "All filters passed")
     h.add_format("GT", "1", "String", "Genotype")
     h.add_format("GQ", "1", "Integer", "Conditional genotype quality (phred)")

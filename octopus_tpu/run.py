@@ -17,6 +17,8 @@ import numpy as np
 
 from .basics.reads import ReadBatch
 from .core.callers.individual import CallerConfig, IndividualCaller
+from .core.csr.measures import compute_measures
+from .core.csr.threshold import ThresholdFilter
 from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
 from .io.bam import BamFile
 from .io.fasta import IndexedFasta, ReferenceGenome
@@ -64,7 +66,11 @@ def run_calling(args) -> int:
     else:
         regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
     pipe = ReadPipe()
+    csr = None if getattr(args, "disable_call_filtering", False) else ThresholdFilter()
     header = make_vcf_header(reference, sorted({r[0] for r in regions}), samples)
+    if csr is not None:
+        for fid in csr.filter_ids():
+            header.add_filter(fid, f"Threshold filter {fid}")
     writer = VcfWriter(args.output, header)
     n_records = 0
     caller_cache: dict[str, IndividualCaller] = {}
@@ -94,7 +100,18 @@ def run_calling(args) -> int:
             # containing its begin
             if not (window.begin <= call.begin < window.end):
                 continue
-            writer.write(site_call_to_record(call, window.contig, reference))
+            record = site_call_to_record(call, window.contig, reference)
+            if csr is not None:
+                measures = compute_measures(call, batch)
+                failed = csr.classify(measures, somatic=bool(call.info.get("SOMATIC")))
+                record.filters = failed if failed else ["PASS"]
+                record.info["DP"] = measures["DP"]
+                record.info["MQ"] = round(measures["MQ"], 1)
+                if "DP" not in record.format_keys:
+                    record.format_keys.append("DP")
+                for s, sv in enumerate(record.sample_values):
+                    sv["DP"] = measures["DP"]
+            writer.write(record)
             n_records += 1
     writer.close()
     print(f"octopus-tpu: wrote {n_records} records in {time.time() - t0:.1f}s",
