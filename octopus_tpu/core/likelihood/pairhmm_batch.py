@@ -148,6 +148,58 @@ def _hmm_rows(tgt, qual, win, opn, ext, mask, prior, pad, nuc_prior):
     return _wavefront(R, D, B, read_row, win_slice, nuc_prior)
 
 
+def _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior):
+    """Wavefront over a precomputed match-cost tensor.
+
+    cm: (R*D, B) int32 (row y*D+d = cost of target[y] vs window[y+d]);
+    opn/ext: (W, B).  3 dynamic slices per row instead of 7.
+    """
+    D = 2 * pad
+    B = cm.shape[1]
+
+    def read_row(y):
+        return None, None
+
+    def win_slice(y):
+        if isinstance(y, int) and y == 0:
+            return (None, _shift_down(opn[0:D], INF), _shift_down(ext[0:D], 0), None, None)
+        off = y - 1
+        return (
+            jax.lax.dynamic_slice_in_dim(cm, off * D, D, axis=0),
+            jax.lax.dynamic_slice_in_dim(opn, off, D, axis=0),
+            jax.lax.dynamic_slice_in_dim(ext, off, D, axis=0),
+            None, None,
+        )
+
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2 == 1)
+    M0 = jnp.zeros((D, B), jnp.int32)
+    M0_gap = jnp.where(d_odd, jnp.zeros((D, B), jnp.int32),
+                       jnp.full((D, B), INF, jnp.int32))
+    I0 = jnp.full((D, B), INF, jnp.int32)
+    _, opn0, ext0, _, _ = win_slice(0)
+    D0 = _deletion_scan(_shift_down(M0_gap, INF) + opn0, ext0, D)
+
+    def step(y, M, M_for_gap, Ii, Dd):
+        cm_win, opn_win, ext_win, _, _ = win_slice(y)
+        Mn = cm_win + jnp.minimum(jnp.minimum(M, Ii), Dd)
+        In = nuc_prior + jnp.minimum(
+            _shift_up(M_for_gap, INF) + opn_win,
+            _shift_up(Ii, INF) + ext_win,
+        )
+        Dn = _deletion_scan(_shift_down(jnp.minimum(Mn, In), INF) + opn_win,
+                            ext_win, D)
+        return Mn, In, Dn
+
+    M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
+
+    def body(y, st):
+        M, Ii, Dd = st
+        return step(y, M, M, Ii, Dd)
+
+    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
+    return jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "nuc_prior"))
 def pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                        nuc_prior=DEFAULT_NUC_PRIOR):
@@ -155,8 +207,12 @@ def pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
 
     Inputs are (B, R) / (B, W) int32 arrays (batch-major); returns (B,) int32
     phred scores."""
-    args = [jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior)]
-    return _hmm_rows(*args, pad, nuc_prior)
+    B, R = tgt.shape
+    D = 2 * pad
+    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
+        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
+    cm = _match_cost_tensor(tgtT, qualT, winT, maskT, priorT, R, D)
+    return _hmm_rows_fast(cm, opnT, extT, R, pad, nuc_prior)
 
 
 # ---------------------------------------------------------------------------

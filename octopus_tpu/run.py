@@ -56,6 +56,25 @@ def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
     return contig, max(int(rng) - 1, 0), reference.contig_size(contig)
 
 
+def _make_caller(kind: str, reference, contig: str, samples: list[str]):
+    """Caller selection mirroring the reference's auto resolution
+    (option_collation.cpp:1845-1860): 1 sample -> individual, several ->
+    population; trio/cancer need explicit pedigree/normal flags."""
+    if kind in ("auto", "population") and len(samples) > 1:
+        from .core.callers.population import PopulationCaller
+        return PopulationCaller(reference, contig)
+    if kind == "trio":
+        from .core.callers.trio import TrioCaller
+        return TrioCaller(reference, contig)
+    if kind == "cancer":
+        from .core.callers.cancer import CancerCaller
+        return CancerCaller(reference, contig)
+    if kind == "polyclone":
+        from .core.callers.polyclone import PolycloneCaller
+        return PolycloneCaller(reference, contig)
+    return IndividualCaller(reference, contig, CallerConfig())
+
+
 def run_calling(args) -> int:
     t0 = time.time()
     reference = ReferenceGenome(IndexedFasta(args.reference))
@@ -73,7 +92,8 @@ def run_calling(args) -> int:
             header.add_filter(fid, f"Threshold filter {fid}")
     writer = VcfWriter(args.output, header)
     n_records = 0
-    caller_cache: dict[str, IndividualCaller] = {}
+    caller_cache: dict[str, object] = {}
+    caller_kind = getattr(args, "caller", "auto")
     for window in propose_windows(reference, regions):
         per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
         pad = 200
@@ -82,19 +102,24 @@ def run_calling(args) -> int:
             for s, batch in got.items():
                 if len(batch):
                     per_sample[s].append(batch)
-        # single-sample path for now: merge everything into sample 0
-        batches = [b for bs in per_sample.values() for b in bs]
-        if not batches:
-            continue
-        batch = ReadBatch.concatenate(batches).sorted_by_begin()
-        batch, _ = pipe.process(batch)
-        if len(batch) == 0:
+        batches_by_sample = []
+        any_reads = False
+        for s in samples:
+            if per_sample[s]:
+                b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
+                b, _ = pipe.process(b)
+                any_reads = any_reads or len(b) > 0
+            else:
+                b = ReadBatch.empty(window.contig)
+            batches_by_sample.append(b)
+        if not any_reads:
             continue
         caller = caller_cache.get(window.contig)
         if caller is None:
-            caller = IndividualCaller(reference, window.contig, CallerConfig())
+            caller = _make_caller(caller_kind, reference, window.contig, samples)
             caller_cache[window.contig] = caller
-        calls = caller.call(window.begin, window.end, batch)
+        calls = caller.call(window.begin, window.end, batches_by_sample)
+        merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
         for call in calls:
             # window-boundary ownership: a call belongs to the window
             # containing its begin
@@ -102,7 +127,7 @@ def run_calling(args) -> int:
                 continue
             record = site_call_to_record(call, window.contig, reference)
             if csr is not None:
-                measures = compute_measures(call, batch)
+                measures = compute_measures(call, merged)
                 failed = csr.classify(measures, somatic=bool(call.info.get("SOMATIC")))
                 record.filters = failed if failed else ["PASS"]
                 record.info["DP"] = measures["DP"]
@@ -111,6 +136,8 @@ def run_calling(args) -> int:
                     record.format_keys.append("DP")
                 for s, sv in enumerate(record.sample_values):
                     sv["DP"] = measures["DP"]
+            for k, v in call.info.items():
+                record.info.setdefault(k, v)
             writer.write(record)
             n_records += 1
     writer.close()
