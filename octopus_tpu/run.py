@@ -1,14 +1,21 @@
 """Calling orchestration: the equivalent of run_octopus
 (src/core/octopus.cpp:1738) for the CLI.
 
-Current driver: contig-serial window loop (octopus.cpp:467-529 style) with
-dynamic window sizing by read budget; multithreaded/multi-host scheduling
-(octopus.cpp:1226-1342) is layered on via the region work queue in
-octopus_tpu.parallel as it lands.
+Driver design (octopus.cpp:467-529 and :1226-1342, TPU-adapted):
+* windows sized dynamically by read budget (propose_call_subregion,
+  octopus.cpp:340-395) via the BAI linear index;
+* per-window VCF shards in a temp directory + a completion journal give
+  region-granular checkpoint/resume (an addition over the reference, which
+  has no resume; SURVEY.md section 5) — rerunning with the same output path
+  skips completed windows;
+* shards merge into the final sorted VCF (vcf_utils::merge equivalent).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 import sys
 import time
 from dataclasses import dataclass
@@ -22,7 +29,8 @@ from .core.csr.threshold import ThresholdFilter
 from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
 from .io.bam import BamFile
 from .io.fasta import IndexedFasta, ReferenceGenome
-from .io.vcf import VcfWriter
+from .io.vcf import VcfWriter, VcfReader, merge_sorted
+from .logging_.progress import ProgressMeter
 from .readpipe.pipe import ReadPipe, ReadPipeConfig
 
 
@@ -32,15 +40,76 @@ class Window:
     begin: int
     end: int
 
+    @property
+    def key(self) -> str:
+        return f"{self.contig}_{self.begin}_{self.end}"
+
 
 def propose_windows(reference: ReferenceGenome, regions: list[tuple[str, int, int]],
-                    window_size: int = 50_000) -> list[Window]:
+                    bams: list[BamFile] | None = None,
+                    target_reads: int = 5000,
+                    min_size: int = 5_000, max_size: int = 25_000_000,
+                    default_size: int = 50_000) -> list[Window]:
+    """Dynamic call windows budgeted by approximate read count.
+
+    Approximates the reference's find_covered_subregion-driven task sizing
+    using the BAI linear index (16 kb bins with file-offset deltas as a read
+    density proxy)."""
     out = []
     for contig, begin, end in regions:
+        sizes = None
+        if bams:
+            density = _density_profile(bams, contig, begin, end)
+            if density is not None:
+                out.extend(_windows_from_density(contig, begin, end, density,
+                                                 target_reads, min_size, max_size))
+                continue
         pos = begin
         while pos < end:
-            out.append(Window(contig, pos, min(pos + window_size, end)))
-            pos += window_size
+            out.append(Window(contig, pos, min(pos + default_size, end)))
+            pos += default_size
+    return out
+
+
+def _density_profile(bams, contig, begin, end):
+    """Approximate reads per 16 kb bin from BAI linear indices."""
+    bins = None
+    for bam in bams:
+        if bam.index is None or contig not in bam.header.ref_names:
+            return None
+        rid = bam.header.ref_names.index(contig)
+        linear = bam.index.linear[rid]
+        if len(linear) == 0:
+            continue
+        # compressed-offset deltas between bins ~ bytes ~ reads
+        coffs = (linear >> 16).astype(np.float64)
+        deltas = np.diff(np.concatenate([coffs, [coffs[-1]]]))
+        deltas = np.maximum(deltas, 0) / 100.0   # ~100 compressed bytes/read
+        if bins is None:
+            bins = deltas
+        else:
+            n = max(len(bins), len(deltas))
+            a = np.zeros(n)
+            a[:len(bins)] += bins
+            a[:len(deltas)] += deltas
+            bins = a
+    return bins
+
+
+def _windows_from_density(contig, begin, end, density, target_reads,
+                          min_size, max_size):
+    out = []
+    pos = begin
+    while pos < end:
+        acc = 0.0
+        cur = pos
+        while cur < end and acc < target_reads and cur - pos < max_size:
+            b = cur >> 14
+            acc += density[b] if b < len(density) else 0.0
+            cur = min((b + 1) << 14, end)
+        cur = max(cur, pos + min_size)
+        out.append(Window(contig, pos, min(cur, end)))
+        pos = min(cur, end)
     return out
 
 
@@ -58,8 +127,7 @@ def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
 
 def _make_caller(kind: str, reference, contig: str, samples: list[str]):
     """Caller selection mirroring the reference's auto resolution
-    (option_collation.cpp:1845-1860): 1 sample -> individual, several ->
-    population; trio/cancer need explicit pedigree/normal flags."""
+    (option_collation.cpp:1845-1860)."""
     if kind in ("auto", "population") and len(samples) > 1:
         from .core.callers.population import PopulationCaller
         return PopulationCaller(reference, contig)
@@ -72,6 +140,9 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str]):
     if kind == "polyclone":
         from .core.callers.polyclone import PolycloneCaller
         return PolycloneCaller(reference, contig)
+    if kind == "cell":
+        from .core.callers.cell import CellCaller
+        return CellCaller(reference, contig)
     return IndividualCaller(reference, contig, CallerConfig())
 
 
@@ -90,60 +161,96 @@ def run_calling(args) -> int:
     if csr is not None:
         for fid in csr.filter_ids():
             header.add_filter(fid, f"Threshold filter {fid}")
-    writer = VcfWriter(args.output, header)
-    n_records = 0
+
+    windows = propose_windows(reference, regions, bams)
+    # checkpointed shard directory keyed by the output path
+    out_path = args.output or "octopus-tpu-calls.vcf"
+    shard_dir = out_path + ".shards"
+    journal_path = os.path.join(shard_dir, "journal.json")
+    os.makedirs(shard_dir, exist_ok=True)
+    done: dict[str, str] = {}
+    if os.path.exists(journal_path) and getattr(args, "resume", True):
+        try:
+            done = json.load(open(journal_path))
+        except Exception:
+            done = {}
+    progress = ProgressMeter(sum(w.end - w.begin for w in windows))
     caller_cache: dict[str, object] = {}
     caller_kind = getattr(args, "caller", "auto")
-    for window in propose_windows(reference, regions):
-        per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
-        pad = 200
-        for bam in bams:
-            got = bam.fetch(window.contig, max(window.begin - pad, 0), window.end + pad)
-            for s, batch in got.items():
-                if len(batch):
-                    per_sample[s].append(batch)
-        batches_by_sample = []
-        any_reads = False
-        for s in samples:
-            if per_sample[s]:
-                b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
-                b, _ = pipe.process(b)
-                any_reads = any_reads or len(b) > 0
-            else:
-                b = ReadBatch.empty(window.contig)
-            batches_by_sample.append(b)
-        if not any_reads:
+    n_records = 0
+    for window in windows:
+        if window.key in done:
+            progress.advance(window.end - window.begin)
             continue
-        caller = caller_cache.get(window.contig)
-        if caller is None:
-            caller = _make_caller(caller_kind, reference, window.contig, samples)
-            caller_cache[window.contig] = caller
-        calls = caller.call(window.begin, window.end, batches_by_sample)
-        merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
-        for call in calls:
-            # window-boundary ownership: a call belongs to the window
-            # containing its begin
-            if not (window.begin <= call.begin < window.end):
-                continue
-            record = site_call_to_record(call, window.contig, reference)
-            if csr is not None:
-                measures = compute_measures(call, merged)
-                failed = csr.classify(measures, somatic=bool(call.info.get("SOMATIC")))
-                record.filters = failed if failed else ["PASS"]
-                record.info["DP"] = measures["DP"]
-                record.info["MQ"] = round(measures["MQ"], 1)
-                if "DP" not in record.format_keys:
-                    record.format_keys.append("DP")
-                for s, sv in enumerate(record.sample_values):
-                    sv["DP"] = measures["DP"]
-            for k, v in call.info.items():
-                record.info.setdefault(k, v)
-            writer.write(record)
-            n_records += 1
-    writer.close()
-    print(f"octopus-tpu: wrote {n_records} records in {time.time() - t0:.1f}s",
+        shard_path = os.path.join(shard_dir, window.key + ".vcf")
+        records = _call_window(window, reference, bams, samples, pipe, csr,
+                               caller_cache, caller_kind)
+        with VcfWriter(shard_path, header) as w:
+            for r in records:
+                w.write(r)
+        n_records += len(records)
+        done[window.key] = shard_path
+        json.dump(done, open(journal_path, "w"))
+        progress.advance(window.end - window.begin)
+    # merge shards
+    shard_paths = [done[w.key] for w in windows if w.key in done
+                   and os.path.exists(done[w.key])]
+    merge_sorted(shard_paths, out_path, header, list(reference.contig_names()))
+    if args.output is None:
+        sys.stdout.write(open(out_path).read())
+        os.unlink(out_path)
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    print(f"octopus-tpu: completed {len(windows)} windows in {time.time() - t0:.1f}s",
           file=sys.stderr)
     return 0
+
+
+def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
+                 caller_kind):
+    per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
+    pad = 200
+    for bam in bams:
+        got = bam.fetch(window.contig, max(window.begin - pad, 0), window.end + pad)
+        for s, batch in got.items():
+            if len(batch):
+                per_sample[s].append(batch)
+    batches_by_sample = []
+    any_reads = False
+    for s in samples:
+        if per_sample[s]:
+            b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
+            b, _ = pipe.process(b)
+            any_reads = any_reads or len(b) > 0
+        else:
+            b = ReadBatch.empty(window.contig)
+        batches_by_sample.append(b)
+    if not any_reads:
+        return []
+    caller = caller_cache.get(window.contig)
+    if caller is None:
+        caller = _make_caller(caller_kind, reference, window.contig, samples)
+        caller_cache[window.contig] = caller
+    calls = caller.call(window.begin, window.end, batches_by_sample)
+    merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
+    records = []
+    for call in calls:
+        if not (window.begin <= call.begin < window.end):
+            continue
+        record = site_call_to_record(call, window.contig, reference)
+        if csr is not None:
+            measures = compute_measures(call, merged)
+            failed = csr.classify(measures, somatic=bool(call.info.get("SOMATIC")))
+            record.filters = failed if failed else ["PASS"]
+            record.info["DP"] = measures["DP"]
+            record.info["MQ"] = round(measures["MQ"], 1)
+            if "DP" not in record.format_keys:
+                record.format_keys.append("DP")
+            for s, sv in enumerate(record.sample_values):
+                sv["DP"] = measures["DP"]
+        for k, v in call.info.items():
+            record.info.setdefault(k, v)
+        records.append(record)
+    return records
 
 
 __all__ = ["run_calling", "propose_windows", "parse_region"]

