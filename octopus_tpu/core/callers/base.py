@@ -29,6 +29,8 @@ from ..tools.phaser import Phaser
 from ..types.haplotypes import Haplotype
 from ..types.variants import Variant
 from ..vargen.cigar_scanner import CigarScanner, ScannerOptions
+from ..vargen.generator import VariantGenerator, VariantGeneratorConfig
+from ..vargen.assembler import AssemblerOptions
 
 
 @dataclass
@@ -41,6 +43,9 @@ class BaseCallerConfig:
     haplotype_pad: int = 30
     likelihood: LikelihoodConfig = field(default_factory=LikelihoodConfig)
     scanner: ScannerOptions = field(default_factory=ScannerOptions)
+    use_assembler: bool = False
+    assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
+    source_vcf: str | None = None
     use_device: bool = True
 
 
@@ -94,10 +99,15 @@ class CallerBase:
     def call(self, region_begin: int, region_end: int,
              reads_by_sample: list[ReadBatch]) -> list[SiteCall]:
         cfg = self.config
-        scanner = CigarScanner(self.reference, self.contig, cfg.scanner)
+        vargen = VariantGenerator(
+            self.reference, self.contig,
+            VariantGeneratorConfig(scanner=cfg.scanner,
+                                   use_assembler=cfg.use_assembler,
+                                   assembler=cfg.assembler,
+                                   source_vcf=cfg.source_vcf))
         for s, batch in enumerate(reads_by_sample):
-            scanner.add_reads(s, batch)
-        candidates = scanner.generate(region_begin, region_end)
+            vargen.add_reads(s, batch)
+        candidates = vargen.generate(region_begin, region_end)
         if not candidates:
             return []
         calls: list[SiteCall] = []

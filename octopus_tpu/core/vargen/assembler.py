@@ -1,0 +1,304 @@
+"""Local de-Bruijn reassembly candidate generation.
+
+Capability-equivalent to the reference's LocalReassembler + Assembler +
+GlobalAligner (src/core/tools/vargen/local_reassembler.cpp,
+utils/assembler.{hpp,cpp}, utils/global_aligner.cpp): reads are binned
+(600 bp bins, 200 bp overlap by CLI default), low-quality bases masked
+(quality < 10 -> N), per-bin de-Bruijn graphs built at k in {10, 15, 20};
+the reference sequence threads a marked path through the graph; alt bubbles
+(paths leaving and rejoining the reference path) are extracted best-first by
+support score, aligned back to the reference segment with affine-gap
+Needleman-Wunsch, and decomposed into variants <= 5000 bp.
+
+Graphs are per-bin and small, so this is host code by design (SURVEY.md
+section 2.14 item 7); the hot alignment of bubble vs reference reuses
+numpy DP.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ...basics.reads import ReadBatch
+from ...basics.sequence import decode_sequence, encode_sequence
+from ..types.variants import Variant, left_align
+
+
+@dataclass
+class AssemblerOptions:
+    kmer_sizes: tuple[int, ...] = (10, 15, 20)
+    bin_size: int = 600
+    bin_overlap: int = 200
+    mask_threshold: int = 10
+    min_kmer_observations: int = 1
+    max_bubbles: int = 30
+    min_bubble_score: float = 2.0
+    max_variant_size: int = 5000
+    max_path_extension: int = 700
+
+
+class DeBruijnGraph:
+    """(k-1)-mer nodes, k-mer edges with read counts + ref ordering."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.edges: dict[bytes, dict[bytes, int]] = defaultdict(dict)
+        self.ref_order: dict[tuple[bytes, bytes], int] = {}
+        self.ref_path: list[bytes] = []
+
+    def insert_reference(self, seq: bytes) -> None:
+        k = self.k
+        if len(seq) < k:
+            return
+        prev = seq[:k - 1]
+        self.ref_path = [prev]
+        for i in range(len(seq) - k + 1):
+            node = seq[i + 1:i + k]
+            self.edges[prev].setdefault(node, 0)
+            self.ref_order[(prev, node)] = i
+            self.ref_path.append(node)
+            prev = node
+
+    def insert_read(self, seq: bytes) -> None:
+        k = self.k
+        n = len(seq)
+        if n < k:
+            return
+        # split on masked bases (N encoded as 4 -> byte 4)
+        start = 0
+        for i in range(n + 1):
+            if i == n or seq[i] == 4:
+                if i - start >= k:
+                    self._insert_clean(seq[start:i])
+                start = i + 1
+
+    def _insert_clean(self, seq: bytes) -> None:
+        k = self.k
+        prev = seq[:k - 1]
+        for i in range(len(seq) - k + 1):
+            node = seq[i + 1:i + k]
+            d = self.edges[prev]
+            d[node] = d.get(node, 0) + 1
+            prev = node
+
+    def prune(self, min_weight: int) -> None:
+        """Drop non-reference edges below the support threshold."""
+        for src in list(self.edges):
+            dst = self.edges[src]
+            for node in list(dst):
+                if dst[node] < min_weight and (src, node) not in self.ref_order:
+                    del dst[node]
+            if not dst and src not in {n for n in self.ref_path}:
+                del self.edges[src]
+
+    def extract_bubbles(self, max_bubbles: int, min_score: float,
+                        max_extension: int) -> list[tuple[int, int, bytes, float]]:
+        """Alt paths leaving and rejoining the reference path.
+
+        Returns (ref_start_index, ref_end_index, alt_sequence, score) where
+        indices are k-mer offsets on the reference path and alt_sequence is
+        the full replacement for ref_path[start..end) node span.
+        """
+        ref_index = {node: i for i, node in enumerate(self.ref_path)}
+        out = []
+        # best-first search over divergent paths, scored by min edge support
+        heap: list = []
+        counter = 0
+        for i, src in enumerate(self.ref_path[:-1]):
+            for node, w in self.edges.get(src, {}).items():
+                if self.ref_order.get((src, node)) == i:
+                    continue
+                if w <= 0:
+                    continue
+                counter += 1
+                heapq.heappush(heap, (-w, counter, i, node, [node], w))
+        seen_bubbles = set()
+        while heap and len(out) < max_bubbles:
+            neg_score, _, start_i, node, path, min_w = heapq.heappop(heap)
+            if node in ref_index and ref_index[node] > start_i:
+                # rejoined the reference
+                end_i = ref_index[node]
+                alt = self.ref_path[start_i] + b"".join(p[-1:] for p in path)
+                key = (start_i, end_i, alt)
+                if key not in seen_bubbles and min_w >= min_score:
+                    seen_bubbles.add(key)
+                    out.append((start_i, end_i, alt, float(min_w)))
+                continue
+            if len(path) > max_extension:
+                continue
+            for nxt, w in self.edges.get(node, {}).items():
+                if w <= 0 and (node, nxt) not in self.ref_order:
+                    continue
+                if nxt in path[-3:]:   # tight cycle guard
+                    continue
+                eff = min(min_w, w) if (node, nxt) not in self.ref_order else min_w
+                counter += 1
+                heapq.heappush(heap, (-eff, counter, start_i, nxt,
+                                      path + [nxt], eff))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Affine-gap global alignment (GlobalAligner equivalent)
+# ---------------------------------------------------------------------------
+
+def global_align(a: np.ndarray, b: np.ndarray, match: int = 2,
+                 mismatch: int = -3, gap_open: int = -8,
+                 gap_extend: int = -1) -> list[tuple[int, str]]:
+    """Needleman-Wunsch with affine gaps; returns [(length, op)] with ops
+    M/I/D where I consumes `b` (the alt) and D consumes `a` (the ref)."""
+    n, m = len(a), len(b)
+    NEG = -(1 << 30)
+    M = np.full((n + 1, m + 1), NEG, np.int64)
+    X = np.full((n + 1, m + 1), NEG, np.int64)   # gap in b (deletion of a)
+    Y = np.full((n + 1, m + 1), NEG, np.int64)   # gap in a (insertion of b)
+    M[0, 0] = 0
+    for i in range(1, n + 1):
+        X[i, 0] = gap_open + (i - 1) * gap_extend
+    for j in range(1, m + 1):
+        Y[0, j] = gap_open + (j - 1) * gap_extend
+    for i in range(1, n + 1):
+        sub = np.where(a[i - 1] == b[:m], match, mismatch)
+        for j in range(1, m + 1):
+            best_prev = max(M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1])
+            M[i, j] = best_prev + sub[j - 1]
+            X[i, j] = max(M[i - 1, j] + gap_open, X[i - 1, j] + gap_extend)
+            Y[i, j] = max(M[i, j - 1] + gap_open, Y[i, j - 1] + gap_extend)
+    # traceback
+    i, j = n, m
+    state = int(np.argmax([M[n, m], X[n, m], Y[n, m]]))
+    ops: list[tuple[int, str]] = []
+
+    def push(op):
+        if ops and ops[-1][1] == op:
+            ops[-1] = (ops[-1][0] + 1, op)
+        else:
+            ops.append((1, op))
+
+    while i > 0 or j > 0:
+        if state == 0 and i > 0 and j > 0:
+            prev = int(np.argmax([M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1]]))
+            push("M")
+            i, j = i - 1, j - 1
+            state = prev
+        elif state == 1 and i > 0:
+            if X[i, j] == M[i - 1, j] + gap_open:
+                state = 0
+            push("D")
+            i -= 1
+        elif state == 2 and j > 0:
+            if Y[i, j] == M[i, j - 1] + gap_open:
+                state = 0
+            push("I")
+            j -= 1
+        else:
+            state = 1 if i > 0 else 2
+    ops.reverse()
+    return ops
+
+
+def variants_from_alignment(ref_begin: int, ref: np.ndarray, alt: np.ndarray,
+                            ops: list[tuple[int, str]],
+                            max_size: int) -> list[Variant]:
+    out = []
+    ri = bi = 0
+    for length, op in ops:
+        if op == "M":
+            for k in range(length):
+                if ref[ri + k] != alt[bi + k]:
+                    out.append(Variant.make(ref_begin + ri + k,
+                                            ref[ri + k:ri + k + 1],
+                                            alt[bi + k:bi + k + 1]))
+            ri += length
+            bi += length
+        elif op == "D":
+            if length <= max_size:
+                out.append(Variant.make(ref_begin + ri, ref[ri:ri + length],
+                                        np.zeros(0, np.uint8)))
+            ri += length
+        else:  # I
+            if length <= max_size:
+                out.append(Variant.make(ref_begin + ri, np.zeros(0, np.uint8),
+                                        alt[bi:bi + length]))
+            bi += length
+    return out
+
+
+class LocalReassembler:
+    """Per-bin de-Bruijn candidate generation over a read batch."""
+
+    def __init__(self, reference, contig: str,
+                 options: AssemblerOptions | None = None):
+        self.reference = reference
+        self.contig = contig
+        self.options = options or AssemblerOptions()
+
+    def generate(self, batch: ReadBatch, region_begin: int,
+                 region_end: int) -> list[Variant]:
+        opt = self.options
+        out: dict[Variant, None] = {}
+        step = opt.bin_size - opt.bin_overlap
+        pos = region_begin
+        while pos < region_end:
+            bin_end = min(pos + opt.bin_size, region_end)
+            over = batch.overlapping(pos, bin_end)
+            if len(over) >= 2:
+                for v in self._assemble_bin(over, pos, bin_end):
+                    out.setdefault(v)
+            pos += step
+        return sorted(out, key=lambda v: (v.begin, v.end, v.alt))
+
+    def _assemble_bin(self, batch: ReadBatch, begin: int, end: int) -> list[Variant]:
+        opt = self.options
+        pad = max(opt.kmer_sizes)
+        ref_begin = max(begin - pad, 0)
+        ref_end = min(end + pad, self.reference.contig_size(self.contig))
+        ref_codes = self.reference.fetch_codes(self.contig, ref_begin, ref_end)
+        ref_bytes = ref_codes.tobytes()
+        masked_reads = []
+        for i in range(len(batch)):
+            seq = batch.sequence(i).copy()
+            seq[batch.qualities(i) < opt.mask_threshold] = 4
+            masked_reads.append(seq.tobytes())
+        out: list[Variant] = []
+        for k in opt.kmer_sizes:
+            if len(ref_bytes) < k + 1:
+                continue
+            g = DeBruijnGraph(k)
+            g.insert_reference(ref_bytes)
+            for seq in masked_reads:
+                g.insert_read(seq)
+            g.prune(opt.min_kmer_observations)
+            bubbles = g.extract_bubbles(opt.max_bubbles, opt.min_bubble_score,
+                                        opt.max_path_extension)
+            for start_i, end_i, alt_bytes, score in bubbles:
+                # reference segment covered by the bubble: ref node span is
+                # positions [start_i, end_i + k - 1)
+                seg_begin = start_i
+                seg_end = end_i + k - 1
+                ref_seg = ref_codes[seg_begin:seg_end]
+                alt_seg = np.frombuffer(alt_bytes, np.uint8)
+                if np.array_equal(ref_seg, alt_seg):
+                    continue
+                ops = global_align(ref_seg, alt_seg)
+                vs = variants_from_alignment(ref_begin + seg_begin, ref_seg,
+                                             alt_seg, ops, opt.max_variant_size)
+                fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
+                for v in vs:
+                    if v.is_indel():
+                        v = left_align(v, fetch)
+                    out.append(v)
+        return out
+
+
+__all__ = [
+    "LocalReassembler",
+    "AssemblerOptions",
+    "DeBruijnGraph",
+    "global_align",
+    "variants_from_alignment",
+]

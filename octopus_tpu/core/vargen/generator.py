@@ -1,0 +1,88 @@
+"""Composite candidate variant generation.
+
+Capability-equivalent to the reference's VariantGenerator composite
+(src/core/tools/vargen/variant_generator.{hpp,cpp}) aggregating CigarScanner,
+LocalReassembler, RepeatScanner and VcfExtractor proposals with merge+dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ...basics.reads import ReadBatch
+from ..types.variants import Variant
+from .assembler import AssemblerOptions, LocalReassembler
+from .cigar_scanner import CigarScanner, ScannerOptions
+
+
+@dataclass
+class VariantGeneratorConfig:
+    scanner: ScannerOptions = field(default_factory=ScannerOptions)
+    use_assembler: bool = False
+    assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
+    source_vcf: str | None = None         # --source-candidates
+    max_variant_size: int = 2000
+
+
+class VariantGenerator:
+    def __init__(self, reference, contig: str,
+                 config: VariantGeneratorConfig | None = None):
+        self.reference = reference
+        self.contig = contig
+        self.config = config or VariantGeneratorConfig()
+        self._scanner = CigarScanner(reference, contig, self.config.scanner)
+        self._assembler = (LocalReassembler(reference, contig, self.config.assembler)
+                           if self.config.use_assembler else None)
+        self._batches: list[tuple[int, ReadBatch]] = []
+
+    def add_reads(self, sample: int, batch: ReadBatch) -> None:
+        self._scanner.add_reads(sample, batch)
+        if self._assembler is not None:
+            self._batches.append((sample, batch))
+
+    def generate(self, begin: int, end: int) -> list[Variant]:
+        out: dict[Variant, None] = {}
+        for v in self._scanner.generate(begin, end):
+            out.setdefault(v)
+        if self._assembler is not None:
+            for sample, batch in self._batches:
+                for v in self._assembler.generate(batch, begin, end):
+                    if v.end - v.begin <= max(self.config.max_variant_size,
+                                              self.config.assembler.max_variant_size):
+                        out.setdefault(v)
+        if self.config.source_vcf:
+            for v in self._from_source_vcf(begin, end):
+                out.setdefault(v)
+        return sorted(out, key=lambda v: (v.begin, v.end, v.alt))
+
+    def _from_source_vcf(self, begin: int, end: int) -> list[Variant]:
+        """VcfExtractor equivalent (--source-candidates)."""
+        from ...io.vcf import VcfReader
+        from ...basics.sequence import encode_sequence
+        out = []
+        for rec in VcfReader(self.config.source_vcf):
+            if rec.chrom != self.contig:
+                continue
+            pos0 = rec.pos - 1
+            if pos0 >= end or pos0 + len(rec.ref) <= begin:
+                continue
+            for alt in rec.alts:
+                if alt.startswith("<") or alt == "*":
+                    continue
+                ref_codes = encode_sequence(rec.ref)
+                alt_codes = encode_sequence(alt)
+                # trim shared prefix (VCF anchors)
+                b = pos0
+                while len(ref_codes) and len(alt_codes) and ref_codes[0] == alt_codes[0] \
+                        and (len(ref_codes) > 1 or len(alt_codes) > 1):
+                    ref_codes, alt_codes = ref_codes[1:], alt_codes[1:]
+                    b += 1
+                out.append(Variant.make(b, ref_codes, alt_codes))
+        return out
+
+    def clear(self) -> None:
+        self._scanner.clear()
+        self._batches.clear()
+
+
+__all__ = ["VariantGenerator", "VariantGeneratorConfig"]
