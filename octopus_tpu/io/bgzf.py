@@ -19,6 +19,11 @@ BGZF_EOF = bytes.fromhex(
 
 _HDR = struct.Struct("<4BI2BH")   # magic(4) mtime xfl os xlen
 
+try:  # native inflate (native/octopus_native.cpp); pure-python fallback below
+    from octopus_tpu import _native as _native_ext
+except Exception:  # pragma: no cover - toolchain-dependent
+    _native_ext = None
+
 
 class BgzfReader:
     """Random-access BGZF reader with a small decompressed-block cache."""
@@ -76,6 +81,8 @@ class BgzfReader:
 
     def read_range(self, vstart: int, vend: int) -> bytes:
         """Bytes between two virtual offsets."""
+        if _native_ext is not None:
+            return self._read_range_native(vstart, vend)
         coff = vstart >> 16
         uoff = vstart & 0xFFFF
         end_coff = vend >> 16
@@ -94,6 +101,31 @@ class BgzfReader:
             if coff > end_coff:
                 break
         return b"".join(parts)
+
+    def _read_range_native(self, vstart: int, vend: int) -> bytes:
+        """Native-inflate path: one disk read of the compressed span, one
+        zlib pass in C (GIL released)."""
+        import numpy as np
+        coff = vstart >> 16
+        uoff = vstart & 0xFFFF
+        end_coff = vend >> 16
+        end_uoff = vend & 0xFFFF
+        # include the final block (max BGZF block = 64 KiB)
+        self._fh.seek(coff)
+        raw = self._fh.read((end_coff - coff) + (1 << 16) + 64)
+        data, coffs_b, uoffs_b = _native_ext.inflate_bgzf(raw)
+        if end_coff == coff:
+            return data[uoff:end_uoff]
+        coffs = np.frombuffer(coffs_b, "<u8")
+        uoffs = np.frombuffer(uoffs_b, "<u8")
+        # locate the block at end_coff (relative offset end_coff - coff)
+        rel = end_coff - coff
+        idx = np.searchsorted(coffs, rel)
+        if idx < len(coffs) and coffs[idx] == rel:
+            end_abs = int(uoffs[idx]) + end_uoff
+        else:
+            end_abs = len(data)
+        return data[uoff:end_abs]
 
     def read_from(self, vstart: int, n_bytes: int) -> bytes:
         """At least n_bytes starting at a virtual offset (until EOF)."""
