@@ -39,45 +39,52 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
 
     W = R + 2 * PAD - 1
 
-    def bench_path(kernel_name):
-        @functools.partial(jax.jit, static_argnames=("B",))
-        def step(key, B):
-            ks = jax.random.split(key, 7)
-            tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
-            qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
-            win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
-            opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
-            ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
-            mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
-            prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
-            fn = (pb.pairhmm_scores_pallas_v2 if kernel_name == "pallas"
-                  else pb.pairhmm_scores_xla)
-            return jnp.sum(fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD))
+    B = max(batches)
 
-        results = {}
-        for B in batches:
-            float(step(jax.random.PRNGKey(0), B))       # compile + sync
+    def bench_path(kernel_name):
+        fn = (pb.pairhmm_scores_pallas_v2 if kernel_name == "pallas"
+              else pb.pairhmm_scores_xla)
+
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def step(key, K):
+            def one(carry, k):
+                ks = jax.random.split(k, 7)
+                tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
+                qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
+                win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
+                opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
+                ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
+                mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
+                prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
+                s = fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD)
+                return carry + jnp.sum(s), None
+            total, _ = jax.lax.scan(one, jnp.int32(0), jax.random.split(key, K))
+            return total
+
+        times = {}
+        for K in (1, 9):
+            float(step(jax.random.PRNGKey(0), K))       # compile + sync
             best = float("inf")
             for i in range(6):
                 t0 = time.time()
-                float(step(jax.random.PRNGKey(i), B))
+                float(step(jax.random.PRNGKey(i), K))
                 best = min(best, time.time() - t0)
-            results[B] = best
-        return results
+            times[K] = best
+        return times
 
     import jax
     kernel = "pallas"
     try:
-        results = bench_path("pallas")
+        times = bench_path("pallas")
     except Exception:
         kernel = "xla"
-        results = bench_path("xla")
-    b_small, b_large = min(batches), max(batches)
-    marginal = (results[b_large] - results[b_small]) / (b_large - b_small)
+        times = bench_path("xla")
+    # K-difference cancels the per-call dispatch round trip exactly
+    per_batch = (times[9] - times[1]) / 8.0
     return {
-        "pairs_per_s_marginal": 1.0 / marginal if marginal > 0 else float("inf"),
-        "pairs_per_s_total": b_large / results[b_large],
-        "times": results,
+        "pairs_per_s_marginal": B / per_batch if per_batch > 0 else float("inf"),
+        "pairs_per_s_total": B / times[1],
+        "times": times,
         "kernel": kernel,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -49,15 +49,24 @@ class DeBruijnGraph:
         self.edges: dict[bytes, dict[bytes, int]] = defaultdict(dict)
         self.ref_order: dict[tuple[bytes, bytes], int] = {}
         self.ref_path: list[bytes] = []
+        # a reference with repeated (k-1)-mers is ambiguous at this k: the
+        # reference's assembler rejects such kmer sizes and falls back
+        # (assembler.cpp reference-uniqueness requirement)
+        self.valid = True
 
     def insert_reference(self, seq: bytes) -> None:
         k = self.k
         if len(seq) < k:
+            self.valid = False
             return
-        prev = seq[:k - 1]
+        nodes = [seq[i:i + k - 1] for i in range(len(seq) - k + 2)]
+        if len(set(nodes)) != len(nodes):
+            self.valid = False
+            return
+        prev = nodes[0]
         self.ref_path = [prev]
         for i in range(len(seq) - k + 1):
-            node = seq[i + 1:i + k]
+            node = nodes[i + 1]
             self.edges[prev].setdefault(node, 0)
             self.ref_order[(prev, node)] = i
             self.ref_path.append(node)
@@ -133,7 +142,7 @@ class DeBruijnGraph:
             for nxt, w in self.edges.get(node, {}).items():
                 if w <= 0 and (node, nxt) not in self.ref_order:
                     continue
-                if nxt in path[-3:]:   # tight cycle guard
+                if nxt in path or nxt == self.ref_path[start_i]:  # no revisits
                     continue
                 eff = min(min_w, w) if (node, nxt) not in self.ref_order else min_w
                 counter += 1
@@ -270,6 +279,8 @@ class LocalReassembler:
                 continue
             g = DeBruijnGraph(k)
             g.insert_reference(ref_bytes)
+            if not g.valid:
+                continue
             for seq in masked_reads:
                 g.insert_read(seq)
             g.prune(opt.min_kmer_observations)

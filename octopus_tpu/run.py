@@ -125,29 +125,53 @@ def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
     return contig, max(int(rng) - 1, 0), reference.contig_size(contig)
 
 
-def _make_caller(kind: str, reference, contig: str, samples: list[str]):
+def _make_caller(kind: str, reference, contig: str, samples: list[str],
+                 base_config=None, cli_args=None):
     """Caller selection mirroring the reference's auto resolution
     (option_collation.cpp:1845-1860)."""
+    import dataclasses
+
+    def specialise(cls, **extra):
+        if base_config is None:
+            return cls(**extra)
+        fields = {f.name: getattr(base_config, f.name)
+                  for f in dataclasses.fields(type(base_config))}
+        fields.update(extra)
+        return cls(**fields)
+
     if kind in ("auto", "population") and len(samples) > 1:
-        from .core.callers.population import PopulationCaller
-        return PopulationCaller(reference, contig)
+        from .core.callers.population import PopulationCaller, PopulationCallerConfig
+        return PopulationCaller(reference, contig,
+                                specialise(PopulationCallerConfig))
     if kind == "trio":
-        from .core.callers.trio import TrioCaller
-        return TrioCaller(reference, contig)
+        from .core.callers.trio import TrioCaller, TrioCallerConfig
+        return TrioCaller(reference, contig, specialise(TrioCallerConfig))
     if kind == "cancer":
-        from .core.callers.cancer import CancerCaller
-        return CancerCaller(reference, contig)
+        from .core.callers.cancer import CancerCaller, CancerCallerConfig
+        normal = None
+        if cli_args is not None and getattr(cli_args, "normal_samples", None):
+            names = cli_args.normal_samples
+            normal = samples.index(names[0]) if names[0] in samples else None
+        return CancerCaller(reference, contig,
+                            specialise(CancerCallerConfig, normal_sample=normal))
     if kind == "polyclone":
-        from .core.callers.polyclone import PolycloneCaller
-        return PolycloneCaller(reference, contig)
+        from .core.callers.polyclone import PolycloneCaller, PolycloneCallerConfig
+        return PolycloneCaller(reference, contig, specialise(PolycloneCallerConfig))
     if kind == "cell":
-        from .core.callers.cell import CellCaller
-        return CellCaller(reference, contig)
+        from .core.callers.cell import CellCaller, CellCallerConfig
+        return CellCaller(reference, contig, specialise(CellCallerConfig))
+    if base_config is not None:
+        return IndividualCaller(reference, contig, base_config)
     return IndividualCaller(reference, contig, CallerConfig())
 
 
 def run_calling(args) -> int:
     t0 = time.time()
+    from .config.options import collate
+    try:
+        components = collate(args)
+    except AttributeError:
+        components = None
     reference = ReferenceGenome(IndexedFasta(args.reference))
     bams = [BamFile(p) for p in args.reads]
     samples = sorted({s for b in bams for s in b.samples()})
@@ -155,8 +179,13 @@ def run_calling(args) -> int:
         regions = [parse_region(r, reference) for r in args.regions]
     else:
         regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
-    pipe = ReadPipe()
-    csr = None if getattr(args, "disable_call_filtering", False) else ThresholdFilter()
+    pipe = ReadPipe(components.read_pipe) if components else ReadPipe()
+    if getattr(args, "disable_call_filtering", False):
+        csr = None
+    elif components and components.filter_expression:
+        csr = ThresholdFilter(components.filter_expression)
+    else:
+        csr = ThresholdFilter()
     header = make_vcf_header(reference, sorted({r[0] for r in regions}), samples)
     if csr is not None:
         for fid in csr.filter_ids():
@@ -176,7 +205,8 @@ def run_calling(args) -> int:
             done = {}
     progress = ProgressMeter(sum(w.end - w.begin for w in windows))
     caller_cache: dict[str, object] = {}
-    caller_kind = getattr(args, "caller", "auto")
+    caller_kind = components.caller_kind if components else getattr(args, "caller", "auto")
+    caller_config = components.caller if components else None
     n_records = 0
     for window in windows:
         if window.key in done:
@@ -184,7 +214,7 @@ def run_calling(args) -> int:
             continue
         shard_path = os.path.join(shard_dir, window.key + ".vcf")
         records = _call_window(window, reference, bams, samples, pipe, csr,
-                               caller_cache, caller_kind)
+                               caller_cache, caller_kind, caller_config, args)
         with VcfWriter(shard_path, header) as w:
             for r in records:
                 w.write(r)
@@ -206,7 +236,7 @@ def run_calling(args) -> int:
 
 
 def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
-                 caller_kind):
+                 caller_kind, caller_config=None, cli_args=None):
     per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
     pad = 200
     for bam in bams:
@@ -228,7 +258,8 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         return []
     caller = caller_cache.get(window.contig)
     if caller is None:
-        caller = _make_caller(caller_kind, reference, window.contig, samples)
+        caller = _make_caller(caller_kind, reference, window.contig, samples,
+                              caller_config, cli_args)
         caller_cache[window.contig] = caller
     calls = caller.call(window.begin, window.end, batches_by_sample)
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
