@@ -47,18 +47,24 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
 
         @functools.partial(jax.jit, static_argnames=("K",))
         def step(key, K):
+            ks = jax.random.split(key, 7)
+            tgt0 = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
+            qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
+            win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
+            opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
+            ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
+            mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
+            prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
+
             def one(carry, k):
-                ks = jax.random.split(k, 7)
-                tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
-                qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
-                win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
-                opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
-                ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
-                mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
-                prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
+                # cheap per-iteration perturbation prevents CSE across the
+                # scan without paying full RNG regeneration
+                tgt = (tgt0 + k) % 4
                 s = fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD)
                 return carry + jnp.sum(s), None
-            total, _ = jax.lax.scan(one, jnp.int32(0), jax.random.split(key, K))
+
+            total, _ = jax.lax.scan(one, jnp.int32(0),
+                                    jnp.arange(K, dtype=jnp.int32))
             return total
 
         times = {}

@@ -131,8 +131,17 @@ class CallerBase:
         hap_end = min(hi + (pad + cfg.haplotype_pad),
                       self.reference.contig_size(self.contig))
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
-        haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants, fetch,
-                                          cfg.max_haplotypes)
+        n_options = 1
+        for g in group_exclusive_sites(variants):
+            n_options *= len(g) + 1
+        if n_options > cfg.max_haplotypes:
+            from ..hapgen.beam import grow_haplotypes_beam
+            haplotypes = grow_haplotypes_beam(
+                hap_begin, hap_end, variants, fetch, active,
+                cfg.max_haplotypes, cfg.likelihood)
+        else:
+            haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants,
+                                              fetch, cfg.max_haplotypes)
         if len(haplotypes) < 2:
             return None
         lik = HaplotypeLikelihoodArray(cfg.likelihood)

@@ -1,0 +1,87 @@
+"""Likelihood-pruned haplotype growth (HaplotypeTree + filtering equivalent).
+
+Capability-equivalent to the reference's HaplotypeTree extend/prune driven by
+Caller::call's generate -> likelihood -> filter loop
+(haplotype_tree.hpp:35-143, caller.cpp:411-533, haplotype_filter.cpp): site
+groups are added left-to-right to a beam of partial haplotype paths; when an
+extension would exceed the haplotype cap, paths are pruned by read support
+scores computed from a device likelihood round (max-likelihood assignment
+counts, the reference's primary filter heuristic), with the reference path
+protected.  No variant is ever silently dropped — dense regions cost pruning
+rounds instead (the role of the reference's holdout stack).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..likelihood.likelihood_array import HaplotypeLikelihoodArray, LikelihoodConfig
+from ..types.haplotypes import Haplotype
+from ..types.variants import Variant
+from .generator import group_exclusive_sites
+
+
+def grow_haplotypes_beam(
+    region_begin: int,
+    region_end: int,
+    variants: list[Variant],
+    ref_fetch,
+    reads_by_sample,
+    max_haplotypes: int,
+    likelihood_config: LikelihoodConfig | None = None,
+) -> list[Haplotype]:
+    """Haplotypes over [region_begin, region_end) considering ALL variants."""
+    groups = group_exclusive_sites(variants)
+    paths: list[tuple[Variant, ...]] = [()]
+    for group in groups:
+        opts: list[Variant | None] = [None] + list(group)
+        if len(paths) * len(opts) > max_haplotypes and len(paths) > 1:
+            keep = max(max_haplotypes // len(opts), 2)
+            paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
+                                 reads_by_sample, keep, likelihood_config)
+        new_paths = []
+        for p in paths:
+            for v in opts:
+                if v is None:
+                    new_paths.append(p)
+                else:
+                    if p and not (p[-1].end <= v.begin):
+                        continue
+                    new_paths.append(p + (v,))
+        paths = new_paths
+    if len(paths) > max_haplotypes:
+        paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
+                             reads_by_sample, max_haplotypes, likelihood_config)
+    return [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
+
+
+def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
+                 likelihood_config):
+    """Keep the `keep` best-supported paths (reference path protected)."""
+    if len(paths) <= keep:
+        return paths
+    haps = [Haplotype.build(begin, end, p, ref_fetch) for p in paths]
+    arr = HaplotypeLikelihoodArray(likelihood_config or LikelihoodConfig())
+    arr.populate(reads_by_sample, [h.sequence for h in haps], begin,
+                 substitution_masks=[h.substitution_mask() for h in haps])
+    # score: number of reads whose max likelihood this haplotype achieves,
+    # tiebroken by total likelihood (haplotype_filter.cpp heuristics)
+    n = len(paths)
+    assign = np.zeros(n)
+    total = np.zeros(n)
+    for s in range(len(reads_by_sample)):
+        lnL = arr.sample_matrix(s)
+        if lnL.shape[1] == 0:
+            continue
+        m = lnL.max(axis=0)
+        assign += (lnL >= m[None, :] - 1e-9).sum(axis=1)
+        total += lnL.sum(axis=1)
+    order = np.lexsort((-total, -assign))
+    kept = set(int(i) for i in order[:keep])
+    ref_idx = next((i for i, p in enumerate(paths) if not p), None)
+    if ref_idx is not None:
+        kept.add(ref_idx)
+    return [paths[i] for i in sorted(kept)]
+
+
+__all__ = ["grow_haplotypes_beam"]

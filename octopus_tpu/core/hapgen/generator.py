@@ -24,7 +24,7 @@ from ..types.variants import Variant
 def propose_active_regions(
     variants: list[Variant],
     merge_distance: int = 100,
-    max_variants_per_region: int = 10,
+    max_variants_per_region: int = 24,
 ) -> list[tuple[int, int, list[Variant]]]:
     """Cluster sorted candidates into active regions.
 
