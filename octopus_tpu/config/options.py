@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     caller.add_argument("--min-denovo-posterior", type=float, default=3.0)
     caller.add_argument("--somatic-snv-prior", type=float, default=1e-4)
     caller.add_argument("--denovo-snv-prior", type=float, default=1.3e-8)
+    caller.add_argument("--refcall", nargs="?", const="BLOCKED", default=None,
+                        choices=["BLOCKED", "POSITIONAL"],
+                        help="emit reference confidence calls (gVCF)")
 
     filt = p.add_argument_group("call filtering")
     filt.add_argument("--disable-call-filtering", action="store_true")

@@ -26,6 +26,7 @@ from .basics.reads import ReadBatch
 from .core.callers.individual import CallerConfig, IndividualCaller
 from .core.csr.measures import compute_measures
 from .core.csr.threshold import ThresholdFilter
+from .core.tools.refcall import RefcallConfig, make_refcall_blocks
 from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
 from .io.bam import BamFile
 from .io.fasta import IndexedFasta, ReferenceGenome
@@ -190,6 +191,9 @@ def run_calling(args) -> int:
     if csr is not None:
         for fid in csr.filter_ids():
             header.add_filter(fid, f"Threshold filter {fid}")
+    refcall_mode = getattr(args, "refcall", None)
+    if refcall_mode:
+        header.add_info("END", "1", "Integer", "End position of reference block")
 
     windows = propose_windows(reference, regions, bams)
     # checkpointed shard directory keyed by the output path
@@ -214,7 +218,8 @@ def run_calling(args) -> int:
             continue
         shard_path = os.path.join(shard_dir, window.key + ".vcf")
         records = _call_window(window, reference, bams, samples, pipe, csr,
-                               caller_cache, caller_kind, caller_config, args)
+                               caller_cache, caller_kind, caller_config, args,
+                               refcall_mode)
         with VcfWriter(shard_path, header) as w:
             for r in records:
                 w.write(r)
@@ -236,7 +241,8 @@ def run_calling(args) -> int:
 
 
 def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
-                 caller_kind, caller_config=None, cli_args=None):
+                 caller_kind, caller_config=None, cli_args=None,
+                 refcall_mode=None):
     per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
     pad = 200
     for bam in bams:
@@ -281,7 +287,39 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         for k, v in call.info.items():
             record.info.setdefault(k, v)
         records.append(record)
+    if refcall_mode:
+        records.extend(_refcall_records(window, reference, merged, calls,
+                                        samples, refcall_mode))
+        records.sort(key=lambda r: r.pos)
     return records
+
+
+def _refcall_records(window, reference, batch, calls, samples, mode):
+    from .io.vcf import VcfRecord
+    from .basics.sequence import decode_sequence
+    import numpy as np
+    ref_codes = reference.fetch_codes(window.contig, window.begin, window.end)
+    called_mask = np.zeros(window.end - window.begin, bool)
+    for c in calls:
+        lo = max(c.begin - window.begin, 0)
+        hi = min(max(c.end, c.begin + 1) - window.begin, len(called_mask))
+        called_mask[lo:hi] = True
+    blocks = make_refcall_blocks(batch, window.begin, window.end, ref_codes,
+                                 called_mask,
+                                 RefcallConfig(mode=mode))
+    out = []
+    for b in blocks:
+        base = decode_sequence(ref_codes[b.begin - window.begin:
+                                         b.begin - window.begin + 1])
+        out.append(VcfRecord(
+            chrom=window.contig, pos=b.begin + 1, id="", ref=base or "N",
+            alts=[], qual=float(b.quality), filters=["PASS"],
+            info={"END": b.end},
+            format_keys=["GT", "GQ", "DP"],
+            sample_values=[{"GT": "0|0", "GQ": b.quality, "DP": b.min_depth}
+                           for _ in samples],
+        ))
+    return out
 
 
 __all__ = ["run_calling", "propose_windows", "parse_region"]

@@ -102,3 +102,28 @@ def test_checkpoint_resume(tmp_path, small_genome):
     rc = run_calling(args)
     second = [r.to_line() for r in VcfReader(str(out)).records()]
     assert first == second
+
+
+def test_refcall_blocks(tmp_path, small_genome):
+    fa, seq = small_genome
+    bam, alt_of = write_bam(tmp_path, seq, [500], [])
+    out = tmp_path / "calls.g.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1:401-700",
+        "--refcall",
+    ])
+    rc = run_calling(args)
+    assert rc == 0
+    records = VcfReader(str(out)).records()
+    var = [r for r in records if r.alts]
+    refs = [r for r in records if not r.alts]
+    assert len(var) == 1 and var[0].pos == 501
+    assert refs, "expected reference blocks"
+    # blocks have END info, 0|0 genotypes, and do not overlap the variant
+    for r in refs:
+        end = int(r.info["END"])
+        assert r.sample_values[0]["GT"] == "0|0"
+        assert not (r.pos <= 501 <= end)
+    # coverage of the region by blocks + the variant should be near-complete
+    covered = sum(int(r.info["END"]) - (r.pos - 1) for r in refs)
+    assert covered > 250
