@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     io.add_argument("--regions-file")
     io.add_argument("--bamout", help="evidence BAM output path")
     io.add_argument("--source-candidates", help="VCF of candidate variants")
+    io.add_argument("--pedigree", help="PED file for trio resolution")
 
     rp = p.add_argument_group("read preprocessing")
     rp.add_argument("--min-mapping-quality", type=int, default=5)
@@ -160,7 +161,7 @@ def collate(args) -> CollatedComponents:
         scanner.min_observations = args.min_supporting_reads
     caller_kind = args.caller
     if caller_kind in ("auto",):
-        if args.maternal_sample and args.paternal_sample:
+        if (args.maternal_sample and args.paternal_sample) or args.pedigree:
             caller_kind = "trio"
         elif args.normal_samples:
             caller_kind = "cancer"

@@ -368,6 +368,149 @@ def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     return out[0]
 
 
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel v3: the reference's interleaved half-step wavefront
+# (simd_pair_hmm.hpp:271-321) vectorised with the band's P=pad lanes on
+# sublanes and pairs on lanes.  Versus v2 this halves the band tile (phases
+# alternate instead of stacking) and removes the per-row deletion scan — the
+# deletion chain advances one lane per half-step exactly as in the reference.
+# ---------------------------------------------------------------------------
+
+def _match_cost_halfstep_tensors(tgt, qual, win, mask, prior, R, P, T):
+    """cm_even/cm_odd as (T*P, B): row t*P+j pairs target[t-j] with
+    truth[j+t] (even) / truth[j+t+1] (odd).  Out-of-range target rows are 0
+    (phantom lanes never reach extraction)."""
+    B = tgt.shape[1]
+    t_grid = jnp.arange(T)[:, None]
+    j_grid = jnp.arange(P)[None, :]
+    y = t_grid - j_grid                               # (T, P)
+    y_ok = (y >= 0) & (y < R)
+    y_c = jnp.clip(y, 0, R - 1)
+    tg = tgt[y_c]                                     # (T, P, B)
+    qg = qual[y_c]
+
+    def cost(x_idx):
+        x_c = jnp.clip(x_idx, 0, win.shape[0] - 1)
+        w = win[x_c]
+        m = mask[x_c]
+        p = prior[x_c]
+        capped = jnp.where(m == tg, jnp.minimum(qg, p), qg)
+        pen = jnp.where(tg == w, 0, capped)
+        pen = jnp.where(w == N, jnp.minimum(pen, N_SCORE), pen)
+        return jnp.where(y_ok[:, :, None], pen, 0).reshape(T * P, B)
+
+    return cost(t_grid + j_grid), cost(t_grid + j_grid + 1)
+
+
+V3_LANES = 256   # wider pair blocks amortise Mosaic per-op overhead
+
+
+def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
+    # cm_ref: (T*2P, B) rows [t*2P .. t*2P+P) even costs, [.. +2P) odd costs
+    # gap_ref: (2(W+2), B) rows: open track then extend track
+    # mask_ref: (T*P, B) bit0 = seed lane, bit1 = extract lane
+    # (a traced-scalar broadcast compare inside the loop is an illegal
+    # relayout for Mosaic, so masks are precomputed and sliced)
+    P = pad
+    B = cm_ref.shape[1]
+    Wtrack = gap_ref.shape[0] // 2
+    INFc = jnp.full((P, B), INF, jnp.int32)
+    ZEROc = jnp.zeros((P, B), jnp.int32)
+    ONEc = jnp.ones((P, B), jnp.int32)
+
+    def shift_down(a):
+        return jnp.concatenate([INFc[:1], a[:-1]], axis=0)
+
+    def shift_up(a):
+        return jnp.concatenate([a[1:], INFc[:1]], axis=0)
+
+    def body(t, st):
+        m1, i1, d1, m2, i2, d2, best = st
+        go_win = gap_ref[pl.ds(t, P + 1), :]
+        ge_win = gap_ref[pl.ds(Wtrack + t, P + 1), :]
+        go_cur, go_nxt = go_win[:P], go_win[1:]
+        ge_cur, ge_nxt = ge_win[:P], ge_win[1:]
+        cm2 = cm_ref[pl.ds(t * 2 * P, 2 * P), :]
+        mask = mask_ref[pl.ds(t * P, P), :]
+        seed = (mask & 1) != 0
+        keep = (mask & 2) != 0
+        # ---- even half-step ----
+        m1 = jnp.where(seed, ZEROc, m1)
+        m2 = jnp.where(seed, ZEROc, m2)
+        m1 = jnp.minimum(m1, jnp.minimum(i1, d1))
+        best = jnp.minimum(best, jnp.where(keep, m1, INFc))
+        m1 = m1 + cm2[:P]
+        d1 = shift_down(jnp.minimum(d2 + ge_nxt, jnp.minimum(m2, i2) + go_nxt))
+        i1 = jnp.minimum(i2 + ge_cur, m2 + go_cur) + nuc_prior
+        # ---- odd half-step ----
+        m2 = jnp.minimum(m2, jnp.minimum(i2, d2))
+        best = jnp.minimum(best, jnp.where(keep, m2, INFc))
+        m2 = m2 + cm2[P:]
+        d2 = jnp.minimum(d1 + ge_nxt, jnp.minimum(m1, i1) + go_nxt)
+        i2 = jnp.minimum(shift_up(i1) + ge_nxt, shift_up(m1) + go_nxt) + nuc_prior
+        return m1, i1, d1, m2, i2, d2, best
+
+    init = (INFc, INFc, INFc, INFc, INFc, INFc, INFc)
+    st = jax.lax.fori_loop(0, R + P, body, init)
+    out_ref[0, :] = jnp.min(st[6], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
+def pairhmm_scores_pallas_v3(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                             nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
+    """Half-step wavefront Pallas scorer (reference SIMD structure)."""
+    B, R = tgt.shape
+    P = pad
+    W = win.shape[1]
+    assert W == R + 2 * pad - 1, (W, R, pad)
+    BLK = V3_LANES if B % V3_LANES == 0 else LANES
+    assert B % BLK == 0, B
+    T = R + P
+    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
+        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
+    # pad the truth-side tracks by one row (the reference clamps gap indices
+    # and treats beyond-end truth as N)
+    winT = jnp.concatenate([winT, jnp.full((1, B), N, jnp.int32)], axis=0)
+    opnT = jnp.concatenate([opnT, opnT[-1:]], axis=0)
+    extT = jnp.concatenate([extT, extT[-1:]], axis=0)
+    maskT = jnp.concatenate([maskT, jnp.full((1, B), PAD_CODE, jnp.int32)], axis=0)
+    priorT = jnp.concatenate([priorT, jnp.zeros((1, B), jnp.int32)], axis=0)
+    cm_e, cm_o = _match_cost_halfstep_tensors(tgtT, qualT, winT, maskT, priorT, R, P, T)
+    # interleave even/odd costs per step: rows [t*2P, t*2P+2P)
+    cm = jnp.concatenate([cm_e.reshape(T, P, B), cm_o.reshape(T, P, B)],
+                         axis=1).reshape(T * 2 * P, B)
+    # window slices need rows up to (T-1) + 1 + P = R + 2P = W + 1 rows;
+    # stack open and extend tracks into one array
+    opnT = jnp.concatenate([opnT, opnT[-1:]], axis=0)
+    extT = jnp.concatenate([extT, extT[-1:]], axis=0)
+    gap = jnp.concatenate([opnT, extT], axis=0)
+    # per-step lane masks (bit0 seed, bit1 extract), shared across blocks
+    t_grid = jnp.arange(T)[:, None]
+    j_grid = jnp.arange(P)[None, :]
+    mask_bits = ((j_grid == t_grid).astype(jnp.int32)
+                 + 2 * (j_grid == t_grid - R).astype(jnp.int32))
+    mask_bits = jnp.broadcast_to(mask_bits.reshape(T * P, 1), (T * P, BLK))
+    kernel = functools.partial(_pallas_kernel_v3, R=R, pad=pad, nuc_prior=nuc_prior)
+
+    def tspec(L):
+        return pl.BlockSpec((L, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        grid=(B // BLK,),
+        in_specs=[tspec(T * 2 * P), tspec(2 * (W + 2)),
+                  pl.BlockSpec((T * P, BLK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=26 * (R + P) * P * B, bytes_accessed=(2 * T * P + 2 * W) * B * 4,
+            transcendentals=0),
+    )(cm, gap, mask_bits)
+    return out[0]
+
+
 def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                    nuc_prior=DEFAULT_NUC_PRIOR):
     """Dispatch: Pallas v2 on TPU (if enabled), XLA elsewhere.

@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 from ...basics.reads import ReadBatch
 from ..types.variants import Variant
 from .assembler import AssemblerOptions, LocalReassembler
+from .repeat_scanner import RepeatScanner, RepeatScannerOptions
 from .cigar_scanner import CigarScanner, ScannerOptions
 
 
@@ -20,6 +21,8 @@ class VariantGeneratorConfig:
     scanner: ScannerOptions = field(default_factory=ScannerOptions)
     use_assembler: bool = False
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
+    use_repeat_scanner: bool = True
+    repeat_scanner: RepeatScannerOptions = field(default_factory=RepeatScannerOptions)
     source_vcf: str | None = None         # --source-candidates
     max_variant_size: int = 2000
 
@@ -33,11 +36,13 @@ class VariantGenerator:
         self._scanner = CigarScanner(reference, contig, self.config.scanner)
         self._assembler = (LocalReassembler(reference, contig, self.config.assembler)
                            if self.config.use_assembler else None)
+        self._repeat_scanner = (RepeatScanner(reference, contig, self.config.repeat_scanner)
+                                if self.config.use_repeat_scanner else None)
         self._batches: list[tuple[int, ReadBatch]] = []
 
     def add_reads(self, sample: int, batch: ReadBatch) -> None:
         self._scanner.add_reads(sample, batch)
-        if self._assembler is not None:
+        if self._assembler is not None or self._repeat_scanner is not None:
             self._batches.append((sample, batch))
 
     def generate(self, begin: int, end: int) -> list[Variant]:
@@ -50,6 +55,10 @@ class VariantGenerator:
                     if v.end - v.begin <= max(self.config.max_variant_size,
                                               self.config.assembler.max_variant_size):
                         out.setdefault(v)
+        if self._repeat_scanner is not None:
+            for sample, batch in self._batches:
+                for v in self._repeat_scanner.generate(batch, begin, end):
+                    out.setdefault(v)
         if self.config.source_vcf:
             for v in self._from_source_vcf(begin, end):
                 out.setdefault(v)

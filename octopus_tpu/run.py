@@ -267,6 +267,8 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         caller = _make_caller(caller_kind, reference, window.contig, samples,
                               caller_config, cli_args)
         caller_cache[window.contig] = caller
+    if caller_kind == "trio":
+        batches_by_sample = _order_trio(batches_by_sample, samples, cli_args)
     calls = caller.call(window.begin, window.end, batches_by_sample)
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
     records = []
@@ -292,6 +294,25 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                                         samples, refcall_mode))
         records.sort(key=lambda r: r.pos)
     return records
+
+
+def _order_trio(batches, samples, cli_args):
+    """Reorder per-sample batches to [maternal, paternal, child] from
+    --maternal-sample/--paternal-sample flags or a --pedigree PED file."""
+    maternal = getattr(cli_args, "maternal_sample", None) if cli_args else None
+    paternal = getattr(cli_args, "paternal_sample", None) if cli_args else None
+    ped_path = getattr(cli_args, "pedigree", None) if cli_args else None
+    if (not maternal or not paternal) and ped_path:
+        from .io.pedigree import Pedigree
+        trio = Pedigree.read(ped_path).find_trio(samples)
+        if trio is not None:
+            maternal, paternal = trio.maternal, trio.paternal
+    if maternal in samples and paternal in samples:
+        child = next(s for s in samples if s not in (maternal, paternal))
+        order = [samples.index(maternal), samples.index(paternal),
+                 samples.index(child)]
+        return [batches[i] for i in order]
+    return batches
 
 
 def _refcall_records(window, reference, batch, calls, samples, mode):

@@ -95,3 +95,11 @@ def test_pallas_v2_interpret_matches_xla():
     want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
     got = np.asarray(pairhmm_scores_pallas_v2(*batch, pad=8, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_v3_interpret_matches_xla():
+    from octopus_tpu.core.likelihood.pairhmm_batch import pairhmm_scores_pallas_v3
+    batch, cases = make_batch(seed=8, B=128, rmax=32)
+    want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
+    got = np.asarray(pairhmm_scores_pallas_v3(*batch, pad=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
