@@ -110,8 +110,16 @@ class CallerBase:
         candidates = vargen.generate(region_begin, region_end)
         if not candidates:
             return []
+        from ..tools.bad_region_detector import (Severity, assess_region,
+                                                 median_depth)
+        typical = max((median_depth(b) for b in reads_by_sample if len(b)),
+                      default=0.0)
         calls: list[SiteCall] = []
         for begin, end, variants in propose_active_regions(candidates):
+            merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
+            severity = assess_region(merged, begin, end, len(variants), typical)
+            if severity == Severity.HIGH:
+                continue   # candidates erased (caller.cpp:185-199)
             ctx = self._build_context(begin, end, variants, reads_by_sample)
             if ctx is not None:
                 calls.extend(self._infer_and_call(ctx))

@@ -426,10 +426,10 @@ def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
 
     def body(t, st):
         m1, i1, d1, m2, i2, d2, best = st
-        go_win = gap_ref[pl.ds(t, P + 1), :]
-        ge_win = gap_ref[pl.ds(Wtrack + t, P + 1), :]
-        go_cur, go_nxt = go_win[:P], go_win[1:]
-        ge_cur, ge_nxt = ge_win[:P], ge_win[1:]
+        go_cur = gap_ref[pl.ds(t, P), :]
+        go_nxt = gap_ref[pl.ds(t + 1, P), :]
+        ge_cur = gap_ref[pl.ds(Wtrack + t, P), :]
+        ge_nxt = gap_ref[pl.ds(Wtrack + t + 1, P), :]
         cm2 = cm_ref[pl.ds(t * 2 * P, 2 * P), :]
         mask = mask_ref[pl.ds(t * P, P), :]
         seed = (mask & 1) != 0

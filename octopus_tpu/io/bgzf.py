@@ -29,12 +29,14 @@ class BgzfReader:
     """Random-access BGZF reader with a small decompressed-block cache."""
 
     def __init__(self, path: str, cache_blocks: int = 64):
+        import threading
         self.path = path
         self._fh = open(path, "rb")
         self._cache: dict[int, bytes] = {}
         self._cache_order: list[int] = []
         self._cache_blocks = cache_blocks
         self._file_size = self._get_size()
+        self._io_lock = threading.Lock()
 
     def _get_size(self) -> int:
         self._fh.seek(0, 2)
@@ -48,6 +50,10 @@ class BgzfReader:
         hit = self._cache.get(coffset)
         if hit is not None:
             return hit
+        with self._io_lock:
+            return self._read_block_locked(coffset)
+
+    def _read_block_locked(self, coffset: int) -> tuple[bytes, int]:
         self._fh.seek(coffset)
         header = self._fh.read(18)
         if len(header) < 18:
@@ -111,8 +117,9 @@ class BgzfReader:
         end_coff = vend >> 16
         end_uoff = vend & 0xFFFF
         # include the final block (max BGZF block = 64 KiB)
-        self._fh.seek(coff)
-        raw = self._fh.read((end_coff - coff) + (1 << 16) + 64)
+        with self._io_lock:
+            self._fh.seek(coff)
+            raw = self._fh.read((end_coff - coff) + (1 << 16) + 64)
         data, coffs_b, uoffs_b = _native_ext.inflate_bgzf(raw)
         if end_coff == coff:
             return data[uoff:end_uoff]

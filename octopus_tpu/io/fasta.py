@@ -58,6 +58,8 @@ class IndexedFasta:
                     int(length), int(offset), int(line_bases), int(line_width)
                 )
         self._fh = open(self.path, "rb")
+        import threading
+        self._io_lock = threading.Lock()
 
     def contig_names(self) -> list[str]:
         return list(self._index)
@@ -75,8 +77,9 @@ class IndexedFasta:
         last_line = (end - 1) // entry.line_bases
         file_begin = entry.offset + first_line * entry.line_width + begin % entry.line_bases
         file_end = entry.offset + last_line * entry.line_width + (end - 1) % entry.line_bases + 1
-        self._fh.seek(file_begin)
-        raw = np.frombuffer(self._fh.read(file_end - file_begin), dtype=np.uint8)
+        with self._io_lock:
+            self._fh.seek(file_begin)
+            raw = np.frombuffer(self._fh.read(file_end - file_begin), dtype=np.uint8)
         # strip newlines/CR
         raw = raw[(raw != 10) & (raw != 13)]
         return encode_sequence(raw.tobytes())
@@ -152,11 +155,13 @@ class ReferenceGenome:
     BLOCK = 1 << 16  # 64 kb blocks
 
     def __init__(self, reader: ReferenceReader, max_cache_bytes: int = 256 << 20):
+        import threading
         self._reader = reader
         self._max_cache_bytes = max_cache_bytes
         self._cache: "OrderedDict[tuple[str, int], np.ndarray]" = OrderedDict()
         self._cached_bytes = 0
         self._sizes = {c: reader.contig_size(c) for c in reader.contig_names()}
+        self._lock = threading.Lock()   # ThreadsafeFasta equivalent
 
     @property
     def name(self) -> str:
@@ -193,16 +198,18 @@ class ReferenceGenome:
 
     def _block(self, contig: str, block: int) -> np.ndarray:
         key = (contig, block)
-        hit = self._cache.get(key)
-        if hit is not None:
-            self._cache.move_to_end(key)
-            return hit
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                self._cache.move_to_end(key)
+                return hit
         data = self._reader.fetch(contig, block * self.BLOCK, (block + 1) * self.BLOCK)
-        self._cache[key] = data
-        self._cached_bytes += data.nbytes
-        while self._cached_bytes > self._max_cache_bytes and len(self._cache) > 1:
-            _, evicted = self._cache.popitem(last=False)
-            self._cached_bytes -= evicted.nbytes
+        with self._lock:
+            self._cache[key] = data
+            self._cached_bytes += data.nbytes
+            while self._cached_bytes > self._max_cache_bytes and len(self._cache) > 1:
+                _, evicted = self._cache.popitem(last=False)
+                self._cached_bytes -= evicted.nbytes
         return data
 
 

@@ -212,21 +212,41 @@ def run_calling(args) -> int:
     caller_kind = components.caller_kind if components else getattr(args, "caller", "auto")
     caller_config = components.caller if components else None
     n_records = 0
-    for window in windows:
-        if window.key in done:
-            progress.advance(window.end - window.begin)
-            continue
-        shard_path = os.path.join(shard_dir, window.key + ".vcf")
+    n_threads = max(int(getattr(args, "threads", 0) or 0), 1)
+    pending = [w for w in windows if w.key not in done]
+    progress.advance(sum(w.end - w.begin for w in windows) -
+                     sum(w.end - w.begin for w in pending))
+
+    def run_one(window):
         records = _call_window(window, reference, bams, samples, pipe, csr,
                                caller_cache, caller_kind, caller_config, args,
                                refcall_mode)
+        shard_path = os.path.join(shard_dir, window.key + ".vcf")
         with VcfWriter(shard_path, header) as w:
             for r in records:
                 w.write(r)
-        n_records += len(records)
-        done[window.key] = shard_path
-        json.dump(done, open(journal_path, "w"))
-        progress.advance(window.end - window.begin)
+        return window, shard_path, len(records)
+
+    if n_threads > 1:
+        # worker pool over windows; journal written as futures complete in
+        # submission order (octopus.cpp:1226-1342 holdback-and-order design)
+        from concurrent.futures import ThreadPoolExecutor
+        import threading
+        jlock = threading.Lock()
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            for window, shard_path, n in ex.map(run_one, pending):
+                with jlock:
+                    done[window.key] = shard_path
+                    json.dump(done, open(journal_path, "w"))
+                n_records += n
+                progress.advance(window.end - window.begin)
+    else:
+        for window in pending:
+            window, shard_path, n = run_one(window)
+            n_records += n
+            done[window.key] = shard_path
+            json.dump(done, open(journal_path, "w"))
+            progress.advance(window.end - window.begin)
     # merge shards
     shard_paths = [done[w.key] for w in windows if w.key in done
                    and os.path.exists(done[w.key])]

@@ -127,3 +127,18 @@ def test_refcall_blocks(tmp_path, small_genome):
     # coverage of the region by blocks + the variant should be near-complete
     covered = sum(int(r.info["END"]) - (r.pos - 1) for r in refs)
     assert covered > 250
+
+
+def test_threaded_run_matches_serial(tmp_path, small_genome):
+    fa, seq = small_genome
+    bam, _ = write_bam(tmp_path, seq, [500, 1500, 2500], [1000])
+    out1 = tmp_path / "serial.vcf"
+    out2 = tmp_path / "threaded.vcf"
+    a1 = build_parser().parse_args(["-R", str(fa), "-I", str(bam), "-o", str(out1), "-T", "chr1"])
+    a2 = build_parser().parse_args(["-R", str(fa), "-I", str(bam), "-o", str(out2),
+                                    "-T", "chr1", "--threads", "4"])
+    assert run_calling(a1) == 0
+    assert run_calling(a2) == 0
+    r1 = [r.to_line() for r in VcfReader(str(out1)).records()]
+    r2 = [r.to_line() for r in VcfReader(str(out2)).records()]
+    assert r1 == r2
