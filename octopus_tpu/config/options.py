@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--version", action="store_true")
     g.add_argument("--config", help="config file with one option per line")
     g.add_argument("--threads", type=int, default=0)
+    g.add_argument("--shard-index", type=int, default=None,
+                   help="this host's shard (multi-host static striping)")
+    g.add_argument("--num-shards", type=int, default=None)
+    g.add_argument("--work-queue", action="store_true",
+                   help="coordinate windows through the shared-FS work queue")
     g.add_argument("--fast", action="store_true",
                    help="preset: no assembler, smaller haplotype limits")
     g.add_argument("--very-fast", action="store_true")

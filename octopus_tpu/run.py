@@ -214,6 +214,19 @@ def run_calling(args) -> int:
     n_records = 0
     n_threads = max(int(getattr(args, "threads", 0) or 0), 1)
     pending = [w for w in windows if w.key not in done]
+    shard_index = getattr(args, "shard_index", None)
+    num_shards = getattr(args, "num_shards", None)
+    if shard_index is not None and num_shards:
+        # stripe over the stable full window list so every window belongs to
+        # exactly one shard regardless of resume state
+        from .parallel.work_queue import stripe
+        keys = set(stripe([w.key for w in windows], shard_index, num_shards))
+        pending = [w for w in pending if w.key in keys]
+    queue = None
+    if getattr(args, "work_queue", False):
+        from .parallel.work_queue import RegionWorkQueue
+        queue = RegionWorkQueue(os.path.join(shard_dir, "queue"))
+        pending = [w for w in pending if queue.try_claim(w.key)]
     progress.advance(sum(w.end - w.begin for w in windows) -
                      sum(w.end - w.begin for w in pending))
 
@@ -238,6 +251,8 @@ def run_calling(args) -> int:
                 with jlock:
                     done[window.key] = shard_path
                     json.dump(done, open(journal_path, "w"))
+                if queue is not None:
+                    queue.mark_done(window.key, {"shard": shard_path})
                 n_records += n
                 progress.advance(window.end - window.begin)
     else:
@@ -246,8 +261,22 @@ def run_calling(args) -> int:
             n_records += n
             done[window.key] = shard_path
             json.dump(done, open(journal_path, "w"))
+            if queue is not None:
+                queue.mark_done(window.key, {"shard": shard_path})
             progress.advance(window.end - window.begin)
-    # merge shards
+    # merge shards; under the work queue, the last finisher merges the full
+    # set once every host's windows complete (composable per-region shards,
+    # octopus.cpp:573-588 design generalised across hosts)
+    if queue is not None:
+        if not queue.wait_all([w.key for w in windows], timeout_s=0.0):
+            print("octopus-tpu: other hosts still working; shards left for "
+                  "the final finisher", file=sys.stderr)
+            return 0
+        for w in windows:
+            if w.key not in done:
+                res = queue.result(w.key)
+                if res and res.get("result", {}).get("shard"):
+                    done[w.key] = res["result"]["shard"]
     shard_paths = [done[w.key] for w in windows if w.key in done
                    and os.path.exists(done[w.key])]
     merge_sorted(shard_paths, out_path, header, list(reference.contig_names()))

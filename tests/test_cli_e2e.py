@@ -142,3 +142,19 @@ def test_threaded_run_matches_serial(tmp_path, small_genome):
     r1 = [r.to_line() for r in VcfReader(str(out1)).records()]
     r2 = [r.to_line() for r in VcfReader(str(out2)).records()]
     assert r1 == r2
+
+
+def test_multihost_sharded_run(tmp_path, small_genome):
+    """Two 'hosts' split windows by stripe; the second finisher merges."""
+    fa, seq = small_genome
+    bam, _ = write_bam(tmp_path, seq, [500, 2500], [1500])
+    out = tmp_path / "multi.vcf"
+    base = ["-R", str(fa), "-I", str(bam), "-o", str(out),
+            "-T", "chr1:1-1500", "chr1:1501-3000", "--work-queue"]
+    a0 = build_parser().parse_args(base + ["--shard-index", "0", "--num-shards", "2"])
+    a1 = build_parser().parse_args(base + ["--shard-index", "1", "--num-shards", "2"])
+    run_calling(a0)
+    run_calling(a1)
+    # one of the two runs performed the merge
+    records = VcfReader(str(out)).records()
+    assert {r.pos - 1 for r in records} == {500, 1500, 2500}
