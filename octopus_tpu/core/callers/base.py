@@ -46,6 +46,7 @@ class BaseCallerConfig:
     use_assembler: bool = False
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
     source_vcf: str | None = None
+    read_linkage: str = "none"        # none | paired (AlignedTemplate joint scoring)
     use_device: bool = True
 
 
@@ -155,6 +156,12 @@ class CallerBase:
         lik = HaplotypeLikelihoodArray(cfg.likelihood)
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
                      substitution_masks=[h.substitution_mask() for h in haplotypes])
+        matrices = [lik.sample_matrix(s) for s in range(len(active))]
+        if cfg.read_linkage == "paired":
+            # AlignedTemplate joint scoring: linked reads' log-likelihoods sum
+            # (haplotype_likelihood_model.cpp:306-311)
+            matrices = [_link_template_columns(m, active[s])
+                        for s, m in enumerate(matrices)]
         ref_hap = next((h for h in haplotypes if not h.variants), None)
         if ref_hap is None:
             ref_hap = Haplotype.build(hap_begin, hap_end, [], fetch)
@@ -170,7 +177,7 @@ class CallerBase:
                 contains[vi, hi_] = h.contains(v)
         return ActiveRegionContext(
             begin=begin, end=end, variants=variants, haplotypes=haplotypes,
-            lnL=[lik.sample_matrix(s) for s in range(len(active))],
+            lnL=matrices,
             prior_model=prior_model, contains=contains,
         )
 
@@ -189,6 +196,17 @@ class CallerBase:
             for gi, v in enumerate(group):
                 site_alleles[si][ctx.contains[ctx.variants.index(v)]] = gi + 1
         return site_alleles
+
+
+def _link_template_columns(lnL: np.ndarray, batch) -> np.ndarray:
+    """Sum likelihood columns of reads sharing a template (read name)."""
+    if batch.name_hashes is None or lnL.shape[1] == 0:
+        return lnL
+    _, inverse = np.unique(batch.name_hashes, return_inverse=True)
+    n_templates = int(inverse.max()) + 1
+    out = np.zeros((lnL.shape[0], n_templates))
+    np.add.at(out, (slice(None), inverse), lnL)
+    return out
 
 
 def phred_not(log_posts: np.ndarray) -> float:

@@ -402,7 +402,7 @@ def _match_cost_halfstep_tensors(tgt, qual, win, mask, prior, R, P, T):
     return cost(t_grid + j_grid), cost(t_grid + j_grid + 1)
 
 
-V3_LANES = 256   # wider pair blocks amortise Mosaic per-op overhead
+V3_LANES = 128   # 256-lane blocks trip Mosaic unaligned-row-slice checks
 
 
 def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):

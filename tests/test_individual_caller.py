@@ -139,3 +139,38 @@ class TestIndividualCallerE2E:
         assert rec.sample_values[0]["GT"] in ("0|1", "1|0")
         line = rec.to_line()
         assert line.startswith("chr1\t201\t")
+
+
+def test_paired_linkage_phases_distant_hets():
+    """Mates carry two het sites individually; linked scoring phases them."""
+    import numpy as np
+    from octopus_tpu.basics.reads import ReadBatch
+    ref, seq = make_reference(seed=40)
+    a1, a2 = other_base(seq[300]), other_base(seq[500])
+    hapA = seq[:300] + a1 + seq[301:500] + a2 + seq[501:]
+    rng = np.random.default_rng(41)
+    reads = []
+    names = []
+    for i in range(60):
+        hap = hapA if i % 2 == 0 else seq
+        b1 = 300 - int(rng.integers(10, 60))
+        b2 = 500 - int(rng.integers(10, 60))
+        reads.append((b1, "80M", hap[b1:b1 + 80], [37] * 80, 60, 0))
+        reads.append((b2, "80M", hap[b2:b2 + 80], [37] * 80, 60, FLAG_REVERSE))
+        names.extend([f"frag{i}", f"frag{i}"])
+    from octopus_tpu.basics.reads import make_read_batch
+    batch = make_read_batch("chr1", reads)
+    batch.name_hashes = np.asarray([hash(n) & 0xFFFFFFFF for n in names],
+                                   np.uint64)
+    batch = batch.sorted_by_begin()
+    cfg = CallerConfig(use_device=False)
+    cfg.read_linkage = "paired"
+    # force the two sites into one active region so phasing is attempted
+    from octopus_tpu.core.callers.individual import IndividualCaller
+    caller = IndividualCaller(ref, "chr1", cfg)
+    import octopus_tpu.core.hapgen.generator as hg
+    calls = caller.call(0, 800, batch)
+    got = {c.begin for c in calls}
+    assert got == {300, 500}
+    for c in calls:
+        assert sorted(c.genotype) == [0, 1]
