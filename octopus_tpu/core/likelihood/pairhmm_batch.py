@@ -402,7 +402,9 @@ def _match_cost_halfstep_tensors(tgt, qual, win, mask, prior, R, P, T):
     return cost(t_grid + j_grid), cost(t_grid + j_grid + 1)
 
 
-V3_LANES = 128   # 256-lane blocks trip Mosaic unaligned-row-slice checks
+V3_LANES = 512   # wide pair blocks amortise Mosaic per-op overhead; all
+                 # dynamic row offsets are 8-aligned to satisfy the layout
+                 # checker at this width
 
 
 def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
@@ -413,7 +415,7 @@ def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
     # relayout for Mosaic, so masks are precomputed and sliced)
     P = pad
     B = cm_ref.shape[1]
-    Wtrack = gap_ref.shape[0] // 2
+    Wtrack = gap_ref.shape[0] // 2   # rows per track ((T+1)*P)
     INFc = jnp.full((P, B), INF, jnp.int32)
     ZEROc = jnp.zeros((P, B), jnp.int32)
     ONEc = jnp.ones((P, B), jnp.int32)
@@ -426,10 +428,12 @@ def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
 
     def body(t, st):
         m1, i1, d1, m2, i2, d2, best = st
-        go_cur = gap_ref[pl.ds(t, P), :]
-        go_nxt = gap_ref[pl.ds(t + 1, P), :]
-        ge_cur = gap_ref[pl.ds(Wtrack + t, P), :]
-        ge_nxt = gap_ref[pl.ds(Wtrack + t + 1, P), :]
+        # gap_ref holds per-step P-row blocks (open track then extend track)
+        # so every slice offset is a multiple of P
+        go_cur = gap_ref[pl.ds(t * P, P), :]
+        go_nxt = gap_ref[pl.ds((t + 1) * P, P), :]
+        ge_cur = gap_ref[pl.ds(Wtrack + t * P, P), :]
+        ge_nxt = gap_ref[pl.ds(Wtrack + (t + 1) * P, P), :]
         cm2 = cm_ref[pl.ds(t * 2 * P, 2 * P), :]
         mask = mask_ref[pl.ds(t * P, P), :]
         seed = (mask & 1) != 0
@@ -480,10 +484,13 @@ def pairhmm_scores_pallas_v3(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     cm = jnp.concatenate([cm_e.reshape(T, P, B), cm_o.reshape(T, P, B)],
                          axis=1).reshape(T * 2 * P, B)
     # window slices need rows up to (T-1) + 1 + P = R + 2P = W + 1 rows;
-    # stack open and extend tracks into one array
+    # re-lay the gap tracks as per-step P-row blocks (aligned kernel slices)
     opnT = jnp.concatenate([opnT, opnT[-1:]], axis=0)
     extT = jnp.concatenate([extT, extT[-1:]], axis=0)
-    gap = jnp.concatenate([opnT, extT], axis=0)
+    ids = jnp.arange(T + 1)[:, None] + jnp.arange(P)[None, :]
+    go_steps = opnT[ids].reshape((T + 1) * P, B)
+    ge_steps = extT[ids].reshape((T + 1) * P, B)
+    gap = jnp.concatenate([go_steps, ge_steps], axis=0)
     # per-step lane masks (bit0 seed, bit1 extract), shared across blocks
     t_grid = jnp.arange(T)[:, None]
     j_grid = jnp.arange(P)[None, :]
@@ -499,7 +506,7 @@ def pairhmm_scores_pallas_v3(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         grid=(B // BLK,),
-        in_specs=[tspec(T * 2 * P), tspec(2 * (W + 2)),
+        in_specs=[tspec(T * 2 * P), tspec(2 * (T + 1) * P),
                   pl.BlockSpec((T * P, BLK), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
