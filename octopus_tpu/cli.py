@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     from .logging_.progress import init_logging
     init_logging(debug=args.debug, trace=args.trace)
+    if getattr(args, "filter_vcf", None):
+        from .csr_run import run_filter_vcf
+        return run_filter_vcf(args)
     from .run import run_calling
     return run_calling(args)
 

@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     filt.add_argument("--disable-call-filtering", action="store_true")
     filt.add_argument("--filter-expression",
                       default=None, help="boolean measure expression")
+    filt.add_argument("--filter-vcf",
+                      help="filter an existing VCF instead of calling")
+    filt.add_argument("--forest-model",
+                      help="random forest .npz for RF filtering")
 
     return p
 

@@ -1,0 +1,124 @@
+"""Standalone call-set-refinement pass (--filter-vcf).
+
+Capability-equivalent to the reference's filter-request mode
+(octopus.cpp:1432-1471 run_csr with --filter-vcf): annotate and re-filter an
+existing VCF against the read data without re-calling.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .basics.reads import ReadBatch
+from .basics.sequence import encode_sequence
+from .core.callers.base import SiteCall
+from .core.csr.measures import compute_measures
+from .core.csr.threshold import ThresholdFilter
+from .core.csr.random_forest import Forest, RandomForestFilter
+from .core.types.variants import Variant
+from .io.bam import BamFile
+from .io.fasta import IndexedFasta, ReferenceGenome
+from .io.vcf import VcfReader, VcfWriter
+from .readpipe.pipe import ReadPipe
+
+
+def run_filter_vcf(args) -> int:
+    reference = ReferenceGenome(IndexedFasta(args.reference))
+    bams = [BamFile(p) for p in args.reads]
+    reader = VcfReader(args.filter_vcf)
+    header = reader.header
+    threshold = ThresholdFilter(args.filter_expression) if args.filter_expression \
+        else ThresholdFilter()
+    forest = None
+    if getattr(args, "forest_model", None):
+        forest = RandomForestFilter(Forest.load(args.forest_model))
+        if not any(f.get("ID") == "RF" for f in header.filters):
+            header.add_filter("RF", "Random forest filtered")
+        header.add_format("RFGQ", "1", "Float", "Random forest call quality")
+    for fid in threshold.filter_ids():
+        if not any(f.get("ID") == fid for f in header.filters):
+            header.add_filter(fid, f"Threshold filter {fid}")
+    writer = VcfWriter(args.output, header)
+    pipe = ReadPipe()
+    batch_cache: dict[tuple[str, int], ReadBatch] = {}
+    n = 0
+    for rec in reader:
+        contig = rec.chrom
+        pos0 = rec.pos - 1
+        ckey = (contig, pos0 // 10000)
+        batch = batch_cache.get(ckey)
+        if batch is None:
+            lo = (pos0 // 10000) * 10000 - 500
+            parts = []
+            for bam in bams:
+                got = bam.fetch(contig, max(lo, 0), lo + 11000)
+                parts.extend(b for b in got.values() if len(b))
+            batch = ReadBatch.concatenate(parts).sorted_by_begin() if parts \
+                else ReadBatch.empty(contig)
+            if len(batch):
+                batch, _ = pipe.process(batch)
+            batch_cache.clear()
+            batch_cache[ckey] = batch
+        call = _record_to_call(rec)
+        measures = compute_measures(call, batch)
+        somatic = bool(rec.info.get("SOMATIC"))
+        failed = threshold.classify(measures, somatic=somatic)
+        if forest is not None:
+            rfgq, rf_fails = forest.classify([measures])
+            failed.extend(rf_fails[0])
+            for sv in rec.sample_values:
+                sv["RFGQ"] = round(float(rfgq[0]), 2)
+            if "RFGQ" not in rec.format_keys:
+                rec.format_keys.append("RFGQ")
+        rec.filters = failed if failed else ["PASS"]
+        writer.write(rec)
+        n += 1
+    writer.close()
+    print(f"octopus-tpu: filtered {n} records", file=sys.stderr)
+    return 0
+
+
+def _record_to_call(rec) -> SiteCall:
+    pos0 = rec.pos - 1
+    ref_codes = encode_sequence(rec.ref)
+    alts = []
+    for alt in rec.alts or ["."]:
+        if alt in (".", "*") or alt.startswith("<"):
+            alts.append(Variant.make(pos0, ref_codes, ref_codes))
+            continue
+        alt_codes = encode_sequence(alt)
+        b = pos0
+        r, a = ref_codes, alt_codes
+        while len(r) and len(a) and r[0] == a[0] and (len(r) > 1 or len(a) > 1):
+            r, a = r[1:], a[1:]
+            b += 1
+        alts.append(Variant.make(b, r, a))
+    gt = [0, 0]
+    gq = 0.0
+    if rec.sample_values:
+        sv = rec.sample_values[0]
+        gt_str = sv.get("GT", "0/0").replace("|", "/")
+        try:
+            gt = [int(x) for x in gt_str.split("/") if x != "."] or [0, 0]
+        except ValueError:
+            gt = [0, 0]
+        try:
+            gq = float(sv.get("GQ", 0))
+        except (TypeError, ValueError):
+            gq = 0.0
+    return SiteCall(
+        begin=min(v.begin for v in alts),
+        end=max(v.end for v in alts),
+        alts=alts,
+        quality=rec.qual if rec.qual is not None else 0.0,
+        genotypes=[gt],
+        genotype_qualities=[gq],
+        phase_set=pos0,
+        alt_qualities=[rec.qual or 0.0] * len(alts),
+        info=dict(rec.info),
+    )
+
+
+__all__ = ["run_filter_vcf"]

@@ -158,3 +158,36 @@ def test_multihost_sharded_run(tmp_path, small_genome):
     # one of the two runs performed the merge
     records = VcfReader(str(out)).records()
     assert {r.pos - 1 for r in records} == {500, 1500, 2500}
+
+
+def test_filter_vcf_mode(tmp_path, small_genome):
+    fa, seq = small_genome
+    bam, _ = write_bam(tmp_path, seq, [500], [1000])
+    raw = tmp_path / "raw.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(raw), "-T", "chr1",
+        "--disable-call-filtering"])
+    assert run_calling(args) == 0
+    filtered = tmp_path / "filtered.vcf"
+    from octopus_tpu.cli import main
+    rc = main(["-R", str(fa), "-I", str(bam), "--filter-vcf", str(raw),
+               "-o", str(filtered)])
+    assert rc == 0
+    records = VcfReader(str(filtered)).records()
+    assert len(records) == 2
+    assert all(r.filters == ["PASS"] for r in records)
+
+
+def test_config_file_preset(tmp_path, small_genome):
+    fa, seq = small_genome
+    bam, _ = write_bam(tmp_path, seq, [500], [])
+    cfgf = tmp_path / "my.config"
+    cfgf.write_text("min-variant-posterior = 5\nthreads = 2\n")
+    out = tmp_path / "o.vcf"
+    from octopus_tpu.config.options import parse_args_with_config
+    args = parse_args_with_config(["--config", str(cfgf), "-R", str(fa),
+                                   "-I", str(bam), "-o", str(out), "-T", "chr1"])
+    assert args.min_variant_posterior == 5.0
+    assert args.threads == 2
+    assert run_calling(args) == 0
+    assert len(VcfReader(str(out)).records()) == 1
