@@ -307,30 +307,32 @@ class HaplotypeLikelihoodArray:
         mask = np.full((n, W), PAD_CODE, np.int32)
         prior = np.zeros((n, W), np.int32)
         wcol = np.arange(W)
-        flank_rows = []
-        for k in range(n):
-            h = job_hap[k]
+        flank_rows: list[int] = []
+        rev_of_job = is_rev[job_read]
+        for h in np.unique(job_hap):
             p = penalties[h]
-            o = int(offset[k])
             hl = len(p.codes)
+            hsel = np.flatnonzero(job_hap == h)
+            idx = offset[hsel][:, None] + wcol[None, :]
+            over = idx >= hl
+            idx = np.minimum(idx, hl - 1)
             # window may run past the haplotype end because of length-bucket
             # padding; overflow cells are unreachable by real-read rows and
             # get neutral fill (N bases, stiff gap penalties)
-            idx = np.minimum(o + wcol, hl - 1)
-            over = (o + wcol) >= hl
-            win[k] = np.where(over, 4, p.codes[idx])
-            opn[k] = np.where(over, 64, p.gap_open[idx])
-            ext[k] = np.where(over, 64, p.gap_extend[idx])
-            rev = is_rev[job_read[k]]
-            m = p.snv_mask_rev if rev else p.snv_mask_fwd
-            pr = p.snv_prior_rev if rev else p.snv_prior_fwd
-            if m is not None:
-                mask[k] = np.where(over, PAD_CODE, m[idx])
-                prior[k] = np.where(over, 0, pr[idx])
+            win[hsel] = np.where(over, 4, p.codes[idx])
+            opn[hsel] = np.where(over, 64, p.gap_open[idx])
+            ext[hsel] = np.where(over, 64, p.gap_extend[idx])
+            if p.snv_mask_fwd is not None:
+                rev = rev_of_job[hsel]
+                m = np.where(rev[:, None], p.snv_mask_rev[idx], p.snv_mask_fwd[idx])
+                pr = np.where(rev[:, None], p.snv_prior_rev[idx], p.snv_prior_fwd[idx])
+                mask[hsel] = np.where(over, PAD_CODE, m)
+                prior[hsel] = np.where(over, 0, pr)
             if flank_state is not None and cfg.use_flank_state:
-                if (job_pos[k] < flank_state.lhs_flank + pad
-                        or job_pos[k] + int(job_lens[k]) + pad > hl - flank_state.rhs_flank):
-                    flank_rows.append(k)
+                in_flank = ((job_pos[hsel] < flank_state.lhs_flank + pad)
+                            | (job_pos[hsel] + job_lens[hsel] + pad
+                               > hl - flank_state.rhs_flank))
+                flank_rows.extend(int(k) for k in hsel[in_flank])
 
         # pad batch to lane width and launch
         n_pad = -n % LANES

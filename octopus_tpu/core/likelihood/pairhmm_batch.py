@@ -333,7 +333,7 @@ def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
         M, Ii, Dd = st
         return step(y, M, M, Ii, Dd)
 
-    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
+    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd), unroll=4)
     out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
@@ -402,7 +402,7 @@ def _match_cost_halfstep_tensors(tgt, qual, win, mask, prior, R, P, T):
     return cost(t_grid + j_grid), cost(t_grid + j_grid + 1)
 
 
-V3_LANES = 512   # wide pair blocks amortise Mosaic per-op overhead; all
+V3_LANES = 128   # wide pair blocks amortise Mosaic per-op overhead; all
                  # dynamic row offsets are 8-aligned to satisfy the layout
                  # checker at this width
 
