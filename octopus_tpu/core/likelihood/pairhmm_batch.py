@@ -333,7 +333,11 @@ def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
         M, Ii, Dd = st
         return step(y, M, M, Ii, Dd)
 
-    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd), unroll=4)
+    # fully unrolled: every slice offset becomes a compile-time constant
+    # (Mosaic supports only unroll=1 or full unroll; constants also lift the
+    # unaligned-dynamic-slice overhead)
+    for y in range(2, R + 1):
+        M, Ii, Dd = step(y, M, M, Ii, Dd)
     out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
