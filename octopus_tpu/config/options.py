@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--very-fast", action="store_true")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--trace", action="store_true")
+    g.add_argument("--benchmark", action="store_true",
+                   help="print phase timers at exit (reference BENCHMARK build)")
 
     io = p.add_argument_group("io")
     io.add_argument("-R", "--reference", required=False)

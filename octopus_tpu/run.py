@@ -168,6 +168,8 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
 
 def run_calling(args) -> int:
     t0 = time.time()
+    from .utils import timers
+    timers.enabled = bool(getattr(args, "benchmark", False))
     from .config.options import collate
     try:
         components = collate(args)
@@ -286,19 +288,24 @@ def run_calling(args) -> int:
     shutil.rmtree(shard_dir, ignore_errors=True)
     print(f"octopus-tpu: completed {len(windows)} windows in {time.time() - t0:.1f}s",
           file=sys.stderr)
+    if timers.enabled:
+        print(timers.report(), file=sys.stderr)
     return 0
 
 
 def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                  caller_kind, caller_config=None, cli_args=None,
                  refcall_mode=None):
+    from .utils import timers
     per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
     pad = 200
-    for bam in bams:
-        got = bam.fetch(window.contig, max(window.begin - pad, 0), window.end + pad)
-        for s, batch in got.items():
-            if len(batch):
-                per_sample[s].append(batch)
+    with timers.phase("bam_fetch"):
+        for bam in bams:
+            got = bam.fetch(window.contig, max(window.begin - pad, 0),
+                            window.end + pad)
+            for s, batch in got.items():
+                if len(batch):
+                    per_sample[s].append(batch)
     batches_by_sample = []
     any_reads = False
     for s in samples:
@@ -318,7 +325,8 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         caller_cache[window.contig] = caller
     if caller_kind == "trio":
         batches_by_sample = _order_trio(batches_by_sample, samples, cli_args)
-    calls = caller.call(window.begin, window.end, batches_by_sample)
+    with timers.phase("calling"):
+        calls = caller.call(window.begin, window.end, batches_by_sample)
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
     records = []
     for call in calls:
