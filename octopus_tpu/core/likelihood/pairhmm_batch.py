@@ -341,6 +341,9 @@ def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
     out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
+V2_LANES = 256
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
 def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                              nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
@@ -349,21 +352,22 @@ def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     D = 2 * pad
     W = win.shape[1]
     assert W == R + 2 * pad - 1, (W, R, pad)
-    assert B % LANES == 0, B
+    BLK = V2_LANES if B % V2_LANES == 0 else LANES
+    assert B % BLK == 0, B
     tgtT, qualT, winT, opnT, extT, maskT, priorT = (
         jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
     cm = _match_cost_tensor(tgtT, qualT, winT, maskT, priorT, R, D)
     kernel = functools.partial(_pallas_kernel_v2, R=R, pad=pad, nuc_prior=nuc_prior)
 
     def tspec(L):
-        return pl.BlockSpec((L, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((L, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
-        grid=(B // LANES,),
+        grid=(B // BLK,),
         in_specs=[tspec(R * D), tspec(W), tspec(W)],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=25 * R * D * B, bytes_accessed=(R * D + 2 * W) * B * 4,

@@ -29,6 +29,7 @@ from .core.csr.threshold import ThresholdFilter
 from .core.tools.refcall import RefcallConfig, make_refcall_blocks
 from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
 from .io.bam import BamFile
+from .io.read_manager import ReadManager
 from .io.fasta import IndexedFasta, ReferenceGenome
 from .io.vcf import VcfWriter, VcfReader, merge_sorted
 from .logging_.progress import ProgressMeter
@@ -176,8 +177,9 @@ def run_calling(args) -> int:
     except AttributeError:
         components = None
     reference = ReferenceGenome(IndexedFasta(args.reference))
-    bams = [BamFile(p) for p in args.reads]
-    samples = sorted({s for b in bams for s in b.samples()})
+    manager = ReadManager(args.reads)
+    bams = [manager._get(p) for p in manager.paths]
+    samples = manager.samples()
     if args.regions:
         regions = [parse_region(r, reference) for r in args.regions]
     else:
@@ -297,19 +299,19 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                  caller_kind, caller_config=None, cli_args=None,
                  refcall_mode=None):
     from .utils import timers
-    per_sample: dict[str, list[ReadBatch]] = {s: [] for s in samples}
     pad = 200
     with timers.phase("bam_fetch"):
+        per_sample = {}
         for bam in bams:
             got = bam.fetch(window.contig, max(window.begin - pad, 0),
                             window.end + pad)
             for s, batch in got.items():
                 if len(batch):
-                    per_sample[s].append(batch)
+                    per_sample.setdefault(s, []).append(batch)
     batches_by_sample = []
     any_reads = False
     for s in samples:
-        if per_sample[s]:
+        if per_sample.get(s):
             b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
             b, _ = pipe.process(b)
             any_reads = any_reads or len(b) > 0
