@@ -47,6 +47,7 @@ class BaseCallerConfig:
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
     source_vcf: str | None = None
     read_linkage: str = "none"        # none | paired (AlignedTemplate joint scoring)
+    region_merge_distance: int | None = None   # default: read-length scale
     use_device: bool = True
 
 
@@ -116,7 +117,14 @@ class CallerBase:
         typical = max((median_depth(b) for b in reads_by_sample if len(b)),
                       default=0.0)
         calls: list[SiteCall] = []
-        for begin, end, variants in propose_active_regions(candidates):
+        merge_distance = cfg.region_merge_distance
+        if merge_distance is None:
+            # phasing range: variants joinable by one read (or one fragment
+            # under paired linkage) share an active region — the role of the
+            # reference's haplotype-tree lagging across windows
+            merge_distance = 350 if cfg.read_linkage == "paired" else 150
+        for begin, end, variants in propose_active_regions(
+                candidates, merge_distance=merge_distance):
             merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
             severity = assess_region(merged, begin, end, len(variants), typical)
             if severity == Severity.HIGH:
