@@ -341,7 +341,7 @@ def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
     out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
-V2_LANES = 256
+V2_LANES = 128   # >=256-lane blocks hit internal Mosaic compiler bugs on this toolchain
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
