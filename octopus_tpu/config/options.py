@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "individual", "population", "trio",
                                  "cancer", "polyclone", "cell"])
     caller.add_argument("-P", "--organism-ploidy", type=int, default=2)
+    caller.add_argument("--contig-ploidies", nargs="*",
+                        help="per-contig overrides, e.g. chrY=1")
+    caller.add_argument("--contig-ploidies-file")
     caller.add_argument("--min-variant-posterior", type=float, default=0.1)
     caller.add_argument("--snp-heterozygosity", type=float, default=0.001)
     caller.add_argument("--indel-heterozygosity", type=float, default=0.0001)

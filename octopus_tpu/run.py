@@ -324,6 +324,12 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     if caller is None:
         caller = _make_caller(caller_kind, reference, window.contig, samples,
                               caller_config, cli_args)
+        if cli_args is not None:
+            from .basics.ploidy import PloidyMap
+            pm = PloidyMap.parse(getattr(cli_args, "organism_ploidy", 2) or 2,
+                                 getattr(cli_args, "contig_ploidies", None),
+                                 getattr(cli_args, "contig_ploidies_file", None))
+            caller.config.ploidy = pm.of(window.contig)
         caller_cache[window.contig] = caller
     if caller_kind == "trio":
         batches_by_sample = _order_trio(batches_by_sample, samples, cli_args)

@@ -41,3 +41,12 @@ def test_timers():
         pass
     assert "likelihood" in timers.report()
     timers.enabled = False
+
+
+def test_ploidy_map():
+    from octopus_tpu.basics.ploidy import PloidyMap
+    pm = PloidyMap.parse(2, ["chrX=1"])
+    assert pm.of("chr1") == 2
+    assert pm.of("chrX") == 1
+    assert pm.of("chrY") == 1     # human builtin
+    assert pm.of("chrM") == 1
