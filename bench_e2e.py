@@ -1,0 +1,162 @@
+"""End-to-end calling benchmark + accuracy self-check on synthetic data.
+
+Simulates a diploid sample over an N-kb reference at a given depth with
+SNVs/indels at human-like rates, runs the full pipeline (BAM on disk ->
+VCF), and reports wall-clock plus recall/precision vs the simulated truth.
+
+Usage: python bench_e2e.py [kb=500] [depth=30]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
+    from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    fa = os.path.join(tmp, "ref.fa")
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, n, 70):
+            fh.write(seq[i:i + 70] + "\n")
+    # truth variants: ~1/1200 SNVs, ~1/8000 small indels, half het half hom
+    truth = {}
+    haps = [list(seq), list(seq)]
+    pos = 1000
+    while pos < n - 1000:
+        pos += int(rng.integers(600, 1800))
+        if pos >= n - 1000:
+            break
+        hom = rng.random() < 0.4
+        members = (0, 1) if hom else (int(rng.random() < 0.5),)
+        if rng.random() < 0.15:
+            size = int(rng.integers(1, 6))
+            if rng.random() < 0.5:
+                kind = ("del", size)
+            else:
+                ins = "".join("ACGT"[c] for c in rng.integers(0, 4, size))
+                kind = ("ins", ins)
+        else:
+            base = seq[pos]
+            alt = "ACGT"[("ACGT".index(base) + int(rng.integers(1, 4))) % 4]
+            kind = ("snv", alt)
+        truth[pos] = (kind, "hom" if hom else "het")
+        for m in members:
+            if kind[0] == "snv":
+                haps[m][pos] = kind[1]
+            elif kind[0] == "del":
+                for k in range(kind[1]):
+                    haps[m][pos + k] = ""
+            else:
+                haps[m][pos] = seq[pos] + kind[1]
+    # per-haplotype: flattened sequence + ref coordinate of every hap base
+    # (-1 = inserted base), so reads get true ref positions and CIGARs
+    hap_seqs, hap_ref = [], []
+    for h in haps:
+        chars, refc = [], []
+        for ref_i, piece in enumerate(h):
+            for k, ch in enumerate(piece):
+                chars.append(ch)
+                refc.append(ref_i if k == 0 else -1)
+        hap_seqs.append("".join(chars))
+        hap_ref.append(np.asarray(refc))
+    n_reads = int(n * depth / read_len)
+    reads = []
+    for i in range(n_reads):
+        hap = hap_seqs[i % 2]
+        refc = hap_ref[i % 2]
+        begin = int(rng.integers(0, len(hap) - read_len))
+        s = list(hap[begin:begin + read_len])
+        for j in range(read_len):                     # 0.1% sequencing error
+            if rng.random() < 0.001:
+                s[j] = "ACGT"[rng.integers(0, 4)]
+        rc = refc[begin:begin + read_len]
+        aligned = np.flatnonzero(rc >= 0)
+        if not len(aligned):
+            continue
+        lead_ins = int(aligned[0])                    # leading inserted bases
+        cig, last_ref, run_m = [], None, 0
+        if lead_ins:
+            cig.append(f"{lead_ins}S")
+        for j in range(lead_ins, read_len):
+            if rc[j] < 0:                             # inserted base
+                if run_m:
+                    cig.append(f"{run_m}M"); run_m = 0
+                if cig and cig[-1].endswith("I"):
+                    cig[-1] = f"{int(cig[-1][:-1]) + 1}I"
+                else:
+                    cig.append("1I")
+            else:
+                if last_ref is not None and rc[j] > last_ref + 1:
+                    if run_m:
+                        cig.append(f"{run_m}M"); run_m = 0
+                    cig.append(f"{int(rc[j] - last_ref - 1)}D")
+                run_m += 1
+                last_ref = int(rc[j])
+        if run_m:
+            cig.append(f"{run_m}M")
+        if cig and cig[-1].endswith("I"):              # trailing ins → softclip
+            cig[-1] = cig[-1][:-1] + "S"
+        reads.append((int(rc[aligned[0]]), "".join(cig), "".join(s),
+                      [37] * read_len, 60, FLAG_REVERSE if i % 3 == 0 else 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    bam = os.path.join(tmp, "s.bam")
+    with BamWriter(bam, ["chr1"], [n], samples=["SIM"]) as w:
+        w.write_batch(batch, sample="SIM")
+    build_bai(bam)
+    return fa, bam, truth, n
+
+
+def main():
+    kb = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
+    tmp = tempfile.mkdtemp()
+    fa, bam, truth, n = simulate(tmp, kb, depth)
+    from octopus_tpu.cli import build_parser
+    from octopus_tpu.run import run_calling
+    from octopus_tpu.io.vcf import VcfReader
+
+    out = os.path.join(tmp, "calls.vcf")
+    args = build_parser().parse_args(["-R", fa, "-I", bam, "-o", out, "-T", "chr1"])
+    t0 = time.time()
+    run_calling(args)
+    wall = time.time() - t0
+    records = [r for r in VcfReader(out).records()
+               if r.alts and r.filters == ["PASS"]]
+    called = {r.pos - 1 for r in records}
+    called |= {r.pos for r in records}       # indel anchor offset tolerance
+    tp = sum(1 for p in truth
+             if any(abs(p - c) <= 5 for c in called))
+    fp = 0
+    truth_pos = np.asarray(sorted(truth))
+    for r in records:
+        p = r.pos - 1
+        if not len(truth_pos) or np.abs(truth_pos - p).min() > 5:
+            fp += 1
+    recall = tp / max(len(truth), 1)
+    precision = (len(records) - fp) / max(len(records), 1)
+    print(json.dumps({
+        "metric": "e2e_synthetic_calling",
+        "kb": kb, "depth": depth,
+        "wall_s": round(wall, 1),
+        "kb_per_s": round(kb / wall, 2),
+        "n_truth": len(truth), "n_called": len(records),
+        "recall": round(recall, 4), "precision": round(precision, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

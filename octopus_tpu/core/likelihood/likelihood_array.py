@@ -334,8 +334,12 @@ class HaplotypeLikelihoodArray:
                                > hl - flank_state.rhs_flank))
                 flank_rows.extend(int(k) for k in hsel[in_flank])
 
-        # pad batch to lane width and launch
-        n_pad = -n % LANES
+        # pad batch to the next power-of-two multiple of the lane width so
+        # kernel shapes come from a small fixed set (no recompile storms)
+        target = LANES
+        while target < n:
+            target *= 2
+        n_pad = target - n
         if n_pad:
             z = lambda a: np.concatenate([a, np.zeros((n_pad, a.shape[1]), a.dtype)])
             tgt_p = np.concatenate([tgt.astype(np.int32),

@@ -53,15 +53,43 @@ def _genotype_lls_device(lnL32, counts, ploidy):
     return jnp.sum(per_read, axis=1)                  # (G,)
 
 
+def _bucket(n: int, base: int = 8) -> int:
+    """Next power-of-two multiple of base (compile-shape hygiene)."""
+    t = base
+    while t < n:
+        t *= 2
+    return t
+
+
 def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
                              device: bool = True) -> np.ndarray:
-    """Genotype log-likelihoods; device matmul path or exact host path."""
+    """Genotype log-likelihoods; device matmul path or exact host path.
+
+    Device shapes are padded to power-of-two buckets (reads with lnL=0 rows
+    of zero weight, haplotypes with zero counts, genotypes with dummy rows)
+    so data-dependent sizes reuse a small set of compiled kernels."""
     G, P = genotypes.shape
     if P == 0 or lnL.shape[1] == 0:
         return np.zeros(G)
     if not device:
         return genotype_log_likelihoods_np(lnL, genotypes)
-    counts = genotype_counts_matrix(genotypes, lnL.shape[0])
+    H, R = lnL.shape
+    Hp, Rp, Gp = _bucket(H), _bucket(R, 32), _bucket(G)
+    counts = genotype_counts_matrix(genotypes, H)
+    if (Hp, Rp, Gp) != (H, R, G):
+        lnL_p = np.full((Hp, Rp), -np.inf)
+        lnL_p[:H, :R] = lnL
+        lnL_p[:, R:] = 0.0            # padding reads contribute log(sum)=const
+        lnL_p[H:, :] = -np.inf        # padding haplotypes never selected
+        counts_p = np.zeros((Gp, Hp), np.float32)
+        counts_p[:G, :H] = counts
+        counts_p[G:, 0] = P           # dummy genotypes: all-ref, finite
+        out = _genotype_lls_device(jnp.asarray(lnL_p, jnp.float32),
+                                   jnp.asarray(counts_p), int(P))
+        out = np.asarray(out, dtype=np.float64)[:G]
+        # remove the padding reads' constant contribution: each padding read
+        # adds logsumexp over genotype counts of exp(0) = log(P) - log(P) = 0
+        return out
     out = _genotype_lls_device(jnp.asarray(lnL, jnp.float32),
                                jnp.asarray(counts), int(P))
     return np.asarray(out, dtype=np.float64)
