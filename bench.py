@@ -42,25 +42,35 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
     B = max(batches)
 
     def bench_path(kernel_name):
-        fn = (pb.pairhmm_scores_pallas_v2 if kernel_name == "pallas"
-              else pb.pairhmm_scores_xla)
-
+        # the production v8 kernel takes kernel-layout (rows, B) inputs — the
+        # layout the host pipeline assembles natively
         @functools.partial(jax.jit, static_argnames=("K",))
         def step(key, K):
-            ks = jax.random.split(key, 7)
-            tgt0 = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
-            qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
-            win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
-            opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
-            ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
-            mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
-            prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
-
             def one(carry, k):
-                # cheap per-iteration perturbation prevents CSE across the
-                # scan without paying full RNG regeneration
-                tgt = (tgt0 + k) % 4
-                s = fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD)
+                # fresh inputs per rep: the remote execution service
+                # memoises (executable, inputs), so repeated identical
+                # launches would be served from cache
+                ks = jax.random.split(jax.random.fold_in(key, k), 7)
+                if kernel_name == "pallas":
+                    tgt = jax.random.randint(ks[0], (R, B), 0, 4, jnp.int32)
+                    qual = jax.random.randint(ks[1], (R, B), 10, 40, jnp.int32)
+                    win = jax.random.randint(ks[2], (W, B), 0, 4, jnp.int32)
+                    opn = jax.random.randint(ks[3], (W, B), 10, 50, jnp.int32)
+                    ext = jax.random.randint(ks[4], (W, B), 1, 8, jnp.int32)
+                    mask = jax.random.randint(ks[5], (W, B), 0, 4, jnp.int32)
+                    prior = jax.random.randint(ks[6], (W, B), 3, 40, jnp.int32)
+                    s = pb.pairhmm_scores_pallas_v8(
+                        tgt, qual, win, opn, ext, mask, prior, pad=PAD)
+                else:
+                    tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
+                    qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)
+                    win = jax.random.randint(ks[2], (B, W), 0, 4, jnp.int32)
+                    opn = jax.random.randint(ks[3], (B, W), 10, 50, jnp.int32)
+                    ext = jax.random.randint(ks[4], (B, W), 1, 8, jnp.int32)
+                    mask = jax.random.randint(ks[5], (B, W), 0, 4, jnp.int32)
+                    prior = jax.random.randint(ks[6], (B, W), 3, 40, jnp.int32)
+                    s = pb.pairhmm_scores_xla(
+                        tgt, qual, win, opn, ext, mask, prior, pad=PAD)
                 return carry + jnp.sum(s), None
 
             total, _ = jax.lax.scan(one, jnp.int32(0),

@@ -1,4 +1,4 @@
-"""Batched pair-HMM scoring on device (XLA + Pallas TPU kernel).
+"""Batched pair-HMM scoring on device (XLA + Pallas TPU kernels).
 
 The hot loop of the whole engine (reference: simd_pair_hmm.hpp:240-324 runs
 once per read x haplotype pair on CPU SIMD).  Here thousands of pairs are
@@ -9,10 +9,8 @@ scored per launch:
   row wavefront over read positions;
 * all penalties for row y (match, insertion charge, deletion charge) live in
   rows of ONE window slice of the truth-side arrays at offset y-1
-  (truth index (y-1)+d for lane d), so each row does a single dynamic slice
-  per input track;
-* deletions (a within-row tropical chain over diagonals) use a log2(D)-step
-  min-plus prefix scan;
+  (truth index (y-1)+d for lane d), so each row does a single slice per
+  input track;
 * ragged read lengths are exact via PAD_CODE/quality-0 padding: pad rows cost
   0 along diagonal match moves and can never create cheaper paths, so the
   final row's band minimum equals the true score;
@@ -20,15 +18,22 @@ scored per launch:
   truth offsets — see pairhmm_ref.banded_score) is reproduced so scores are
   bit-identical to the reference kernel.
 
-Two implementations with identical semantics:
+Implementations with identical semantics:
   - `pairhmm_scores_xla`: pure jnp/lax, jitted; runs anywhere.
-  - `pairhmm_scores_pallas`: Pallas TPU kernel, grid over pair blocks,
-    truth-side tracks resident in VMEM and sliced per row with pl.ds.
+  - `pairhmm_scores_pallas_v2`: Pallas kernel over an XLA-precomputed match
+    cost tensor (kept as the conservative fallback / comparison point).
+  - `pairhmm_scores_pallas_v8`: the production TPU kernel.  Inputs arrive in
+    kernel layout (rows, B) so no device transposes or cost-tensor gather are
+    needed; match costs are computed in-kernel per row, and the deletion
+    min-plus scan is reduced to a running-min scan with a prefix-sum-of-ext
+    track:  D_d = min_{j<=d}(bv_j - preE[y-1+j]) + preE[y-1+d].
+    3.1x the v2 throughput on a v5e chip (see BASELINE.md).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,103 +77,38 @@ def _deletion_scan(bv, ev, D):
     return bv
 
 
-def _match_cost(t_row, q_row, w_win, mask_win, prior_win):
-    """(D, B) match penalties: read base t_row vs window rows."""
-    t = t_row[None, :]
-    q = q_row[None, :]
-    capped = jnp.where(mask_win == t, jnp.minimum(q, prior_win), q)
-    pen = jnp.where(t == w_win, 0, capped)
-    return jnp.where(w_win == N, jnp.minimum(pen, N_SCORE), pen)
+def _min_scan(u, D):
+    """Inclusive running minimum along the leading (diagonal) axis."""
+    s = 1
+    while s < D:
+        shifted = jnp.concatenate(
+            [jnp.full((s,) + u.shape[1:], INF, u.dtype), u[:-s]], axis=0)
+        u = jnp.minimum(u, shifted)
+        s *= 2
+    return u
 
 
-def _wavefront(R, D, B, read_row, win_slice, nuc_prior):
-    """Generic banded wavefront.
-
-    read_row(y) -> (t_row, q_row) each (B,) for read position y-1.
-    win_slice(y) -> (w, opn, ext, mask, prior) each (D, B), rows at truth
-    index (y-1)+d.
-    Returns (B,) int32 scores.
-    """
-    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2 == 1)
-    M0 = jnp.zeros((D, B), jnp.int32)
-    M0_gap = jnp.where(d_odd, jnp.zeros((D, B), jnp.int32),
-                       jnp.full((D, B), INF, jnp.int32))
-    I0 = jnp.full((D, B), INF, jnp.int32)
-    # row-0 deletion chain: D0[d] = min(M0_gap[d-1] + opn[d-1], D0[d-1] + ext[d-1])
-    _, opn0, ext0, _, _ = win_slice(0)  # rows at truth index d-1 ... use y=0 slice
-    # win_slice(0) rows map to truth index (0-1)+d = d-1 conceptually; we pass
-    # y=0 and the callers implement the off-by-one via shifting row 0 in.
-    D0 = _deletion_scan(_shift_down(M0_gap, INF) + opn0, ext0, D)
-
-    def step(y, M, M_for_gap, Ii, Dd):
-        t_row, q_row = read_row(y)
-        w_win, opn_win, ext_win, mask_win, prior_win = win_slice(y)
-        cm = _match_cost(t_row, q_row, w_win, mask_win, prior_win)
-        Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
-        In = nuc_prior + jnp.minimum(
-            _shift_up(M_for_gap, INF) + opn_win,
-            _shift_up(Ii, INF) + ext_win,
-        )
-        base = jnp.minimum(Mn, In)
-        Dn = _deletion_scan(_shift_down(base, INF) + opn_win, ext_win, D)
-        return Mn, In, Dn
-
-    # row 1 peeled: gap ops out of row 0 may only start at odd offsets, so
-    # its insertion transition sees the parity-masked M0 (a traced-scalar
-    # select inside the loop would break Mosaic lowering)
-    M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
-
-    def body(y, state):
-        M, Ii, Dd = state
-        return step(y, M, M, Ii, Dd)
-
-    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
-    return jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
-
-
-def _hmm_rows(tgt, qual, win, opn, ext, mask, prior, pad, nuc_prior):
-    """XLA value-based wavefront; arrays (L, B) int32, returns (B,) scores."""
-    R, B = tgt.shape
-    D = 2 * pad
-
-    def read_row(y):
-        return (
-            jax.lax.dynamic_index_in_dim(tgt, y - 1, axis=0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(qual, y - 1, axis=0, keepdims=False),
-        )
-
-    def win_slice(y):
-        if isinstance(y, int) and y == 0:
-            # rows at truth index d-1: shift the [0:D] block down by one
-            return (None, _shift_down(opn[0:D], INF), _shift_down(ext[0:D], 0), None, None)
-        off = y - 1
-        f = lambda a: jax.lax.dynamic_slice_in_dim(a, off, D, axis=0)
-        return f(win), f(opn), f(ext), f(mask), f(prior)
-
-    return _wavefront(R, D, B, read_row, win_slice, nuc_prior)
-
+# ---------------------------------------------------------------------------
+# Pure-XLA path (portable: CPU tests, non-TPU backends, shard_map reference)
+# ---------------------------------------------------------------------------
 
 def _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior):
     """Wavefront over a precomputed match-cost tensor.
 
     cm: (R*D, B) int32 (row y*D+d = cost of target[y] vs window[y+d]);
-    opn/ext: (W, B).  3 dynamic slices per row instead of 7.
+    opn/ext: (W, B).
     """
     D = 2 * pad
     B = cm.shape[1]
 
-    def read_row(y):
-        return None, None
-
     def win_slice(y):
         if isinstance(y, int) and y == 0:
-            return (None, _shift_down(opn[0:D], INF), _shift_down(ext[0:D], 0), None, None)
+            return (None, _shift_down(opn[0:D], INF), _shift_down(ext[0:D], 0))
         off = y - 1
         return (
             jax.lax.dynamic_slice_in_dim(cm, off * D, D, axis=0),
             jax.lax.dynamic_slice_in_dim(opn, off, D, axis=0),
             jax.lax.dynamic_slice_in_dim(ext, off, D, axis=0),
-            None, None,
         )
 
     d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2 == 1)
@@ -176,11 +116,11 @@ def _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior):
     M0_gap = jnp.where(d_odd, jnp.zeros((D, B), jnp.int32),
                        jnp.full((D, B), INF, jnp.int32))
     I0 = jnp.full((D, B), INF, jnp.int32)
-    _, opn0, ext0, _, _ = win_slice(0)
+    _, opn0, ext0 = win_slice(0)
     D0 = _deletion_scan(_shift_down(M0_gap, INF) + opn0, ext0, D)
 
     def step(y, M, M_for_gap, Ii, Dd):
-        cm_win, opn_win, ext_win, _, _ = win_slice(y)
+        cm_win, opn_win, ext_win = win_slice(y)
         Mn = cm_win + jnp.minimum(jnp.minimum(M, Ii), Dd)
         In = nuc_prior + jnp.minimum(
             _shift_up(M_for_gap, INF) + opn_win,
@@ -190,6 +130,8 @@ def _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior):
                             ext_win, D)
         return Mn, In, Dn
 
+    # row 1 peeled: gap ops out of row 0 may only start at odd offsets, so
+    # its insertion transition sees the parity-masked M0
     M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
 
     def body(y, st):
@@ -200,93 +142,13 @@ def _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior):
     return jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior"))
-def pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
-                       nuc_prior=DEFAULT_NUC_PRIOR):
-    """Pure-XLA batched scorer.
-
-    Inputs are (B, R) / (B, W) int32 arrays (batch-major); returns (B,) int32
-    phred scores."""
-    B, R = tgt.shape
+def _hmm_rows(tgt, qual, win, opn, ext, mask, prior, pad, nuc_prior):
+    """XLA wavefront from kernel-layout (rows, B) int32 arrays."""
+    R = tgt.shape[0]
     D = 2 * pad
-    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
-        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
-    cm = _match_cost_tensor(tgtT, qualT, winT, maskT, priorT, R, D)
-    return _hmm_rows_fast(cm, opnT, extT, R, pad, nuc_prior)
+    cm = _match_cost_tensor(tgt, qual, win, mask, prior, R, D)
+    return _hmm_rows_fast(cm, opn, ext, R, pad, nuc_prior)
 
-
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel
-# ---------------------------------------------------------------------------
-
-def _pallas_kernel(tgt_ref, qual_ref, win_ref, opn_ref, ext_ref, mask_ref,
-                   prior_ref, out_ref, *, R, pad, nuc_prior):
-    D = 2 * pad
-    B = tgt_ref.shape[1]
-
-    def read_row(y):
-        t = tgt_ref[pl.ds(y - 1, 1), :]
-        q = qual_ref[pl.ds(y - 1, 1), :]
-        return t[0], q[0]
-
-    def win_slice(y):
-        if isinstance(y, int) and y == 0:
-            return (
-                None,
-                _shift_down(opn_ref[0:D, :], INF),
-                _shift_down(ext_ref[0:D, :], 0),
-                None,
-                None,
-            )
-        off = y - 1
-        return (
-            win_ref[pl.ds(off, D), :],
-            opn_ref[pl.ds(off, D), :],
-            ext_ref[pl.ds(off, D), :],
-            mask_ref[pl.ds(off, D), :],
-            prior_ref[pl.ds(off, D), :],
-        )
-
-    out_ref[0, :] = _wavefront(R, D, B, read_row, win_slice, nuc_prior)
-
-
-@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
-def pairhmm_scores_pallas(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
-                          nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
-    """Pallas TPU batched scorer; B must be a multiple of LANES.
-
-    Same input convention as pairhmm_scores_xla ((B, R)/(B, W) int32).
-    """
-    B, R = tgt.shape
-    W = win.shape[1]
-    assert W == R + 2 * pad - 1, (W, R, pad)
-    assert B % LANES == 0, B
-    grid = (B // LANES,)
-
-    def tspec(L):
-        return pl.BlockSpec((L, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-
-    args = [jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior)]
-    kernel = functools.partial(_pallas_kernel, R=R, pad=pad, nuc_prior=nuc_prior)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
-        grid=grid,
-        in_specs=[tspec(R), tspec(R), tspec(W), tspec(W), tspec(W), tspec(W), tspec(W)],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=30 * R * 2 * pad * B, bytes_accessed=(2 * R + 5 * W) * B * 4, transcendentals=0
-        ),
-    )(*args)
-    return out[0]
-
-
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel v2: match costs precomputed by XLA outside the kernel
-# (the in-kernel compare/select mix crashes the remote Mosaic compiler on
-# this toolchain); the kernel is the pure min-plus wavefront.
-# ---------------------------------------------------------------------------
 
 def _match_cost_tensor(tgt, qual, win, mask, prior, R, D):
     """(R*D, B) match costs; row y*D+d pairs target[y] with window[y+d]."""
@@ -301,6 +163,22 @@ def _match_cost_tensor(tgt, qual, win, mask, prior, R, D):
     cm = jnp.where(w_g == N, jnp.minimum(cm, N_SCORE), cm)
     return cm.reshape(R * D, -1)
 
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior"))
+def pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
+                       nuc_prior=DEFAULT_NUC_PRIOR):
+    """Pure-XLA batched scorer.
+
+    Inputs are (B, R) / (B, W) int32 arrays (batch-major); returns (B,) int32
+    phred scores."""
+    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
+        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
+    return _hmm_rows(tgtT, qualT, winT, opnT, extT, maskT, priorT, pad, nuc_prior)
+
+
+# ---------------------------------------------------------------------------
+# Pallas v2: kernel over an XLA-precomputed match-cost tensor (fallback)
+# ---------------------------------------------------------------------------
 
 def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
     D = 2 * pad
@@ -328,31 +206,21 @@ def _pallas_kernel_v2(cm_ref, opn_ref, ext_ref, out_ref, *, R, pad, nuc_prior):
         return Mn, In, Dn
 
     M, Ii, Dd = step(1, M0, M0_gap, I0, D0)
-
-    def body(y, st):
-        M, Ii, Dd = st
-        return step(y, M, M, Ii, Dd)
-
     # fully unrolled: every slice offset becomes a compile-time constant
-    # (Mosaic supports only unroll=1 or full unroll; constants also lift the
-    # unaligned-dynamic-slice overhead)
     for y in range(2, R + 1):
         M, Ii, Dd = step(y, M, M, Ii, Dd)
     out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
-V2_LANES = 128   # >=256-lane blocks hit internal Mosaic compiler bugs on this toolchain
-
-
 @functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
 def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                              nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
-    """Pallas TPU scorer with XLA-precomputed match costs."""
+    """Pallas TPU scorer with XLA-precomputed match costs (batch-major API)."""
     B, R = tgt.shape
     D = 2 * pad
     W = win.shape[1]
     assert W == R + 2 * pad - 1, (W, R, pad)
-    BLK = V2_LANES if B % V2_LANES == 0 else LANES
+    BLK = LANES
     assert B % BLK == 0, B
     tgtT, qualT, winT, opnT, extT, maskT, priorT = (
         jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
@@ -377,135 +245,73 @@ def pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
 
 
 # ---------------------------------------------------------------------------
-# Pallas TPU kernel v3: the reference's interleaved half-step wavefront
-# (simd_pair_hmm.hpp:271-321) vectorised with the band's P=pad lanes on
-# sublanes and pairs on lanes.  Versus v2 this halves the band tile (phases
-# alternate instead of stacking) and removes the per-row deletion scan — the
-# deletion chain advances one lane per half-step exactly as in the reference.
+# Pallas v8: the production kernel
 # ---------------------------------------------------------------------------
 
-def _match_cost_halfstep_tensors(tgt, qual, win, mask, prior, R, P, T):
-    """cm_even/cm_odd as (T*P, B): row t*P+j pairs target[t-j] with
-    truth[j+t] (even) / truth[j+t+1] (odd).  Out-of-range target rows are 0
-    (phantom lanes never reach extraction)."""
-    B = tgt.shape[1]
-    t_grid = jnp.arange(T)[:, None]
-    j_grid = jnp.arange(P)[None, :]
-    y = t_grid - j_grid                               # (T, P)
-    y_ok = (y >= 0) & (y < R)
-    y_c = jnp.clip(y, 0, R - 1)
-    tg = tgt[y_c]                                     # (T, P, B)
-    qg = qual[y_c]
+def _pallas_kernel_v8(tgt_ref, qual_ref, win_ref, opn_ref, ext_ref, mask_ref,
+                      prior_ref, pre_ref, out_ref, *, R, pad, nuc_prior):
+    D = 2 * pad
+    B = out_ref.shape[1]
 
-    def cost(x_idx):
-        x_c = jnp.clip(x_idx, 0, win.shape[0] - 1)
-        w = win[x_c]
-        m = mask[x_c]
-        p = prior[x_c]
-        capped = jnp.where(m == tg, jnp.minimum(qg, p), qg)
-        pen = jnp.where(tg == w, 0, capped)
-        pen = jnp.where(w == N, jnp.minimum(pen, N_SCORE), pen)
-        return jnp.where(y_ok[:, :, None], pen, 0).reshape(T * P, B)
+    def cm_at(y):
+        t = tgt_ref[y - 1:y, :]
+        q = qual_ref[y - 1:y, :]
+        w = win_ref[y - 1:y - 1 + D, :]
+        m = mask_ref[y - 1:y - 1 + D, :]
+        p = prior_ref[y - 1:y - 1 + D, :]
+        capped = jnp.where(m == t, jnp.minimum(q, p), q)
+        pen = jnp.where(t == w, 0, capped)
+        return jnp.where(w == N, jnp.minimum(pen, N_SCORE), pen)
 
-    return cost(t_grid + j_grid), cost(t_grid + j_grid + 1)
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2) == 1
+    ZERO = jnp.zeros((D, B), jnp.int32)
+    INFc = jnp.full((D, B), INF, jnp.int32)
+    M0_gap = jnp.where(d_odd, ZERO, INFc)
+    opn0 = _shift_down(opn_ref[0:D, :], INF)
+    pre0 = _shift_down(pre_ref[0:D, :], 0)
+    bv0 = _shift_down(M0_gap, INF) + opn0
+    D0 = _min_scan(bv0 - pre0, D) + pre0
 
+    def step(y, M, M_for_gap, Ii, Dd):
+        cm = cm_at(y)
+        opn_win = opn_ref[y - 1:y - 1 + D, :]
+        ext_win = ext_ref[y - 1:y - 1 + D, :]
+        pre_win = pre_ref[y - 1:y - 1 + D, :]
+        Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
+        In = nuc_prior + jnp.minimum(
+            _shift_up(M_for_gap, INF) + opn_win,
+            _shift_up(Ii, INF) + ext_win,
+        )
+        bv = _shift_down(jnp.minimum(Mn, In), INF) + opn_win
+        Dn = _min_scan(bv - pre_win, D) + pre_win
+        return Mn, In, Dn
 
-V3_LANES = 128   # wide pair blocks amortise Mosaic per-op overhead; all
-                 # dynamic row offsets are 8-aligned to satisfy the layout
-                 # checker at this width
-
-
-def _pallas_kernel_v3(cm_ref, gap_ref, mask_ref, out_ref, *, R, pad, nuc_prior):
-    # cm_ref: (T*2P, B) rows [t*2P .. t*2P+P) even costs, [.. +2P) odd costs
-    # gap_ref: (2(W+2), B) rows: open track then extend track
-    # mask_ref: (T*P, B) bit0 = seed lane, bit1 = extract lane
-    # (a traced-scalar broadcast compare inside the loop is an illegal
-    # relayout for Mosaic, so masks are precomputed and sliced)
-    P = pad
-    B = cm_ref.shape[1]
-    Wtrack = gap_ref.shape[0] // 2   # rows per track ((T+1)*P)
-    INFc = jnp.full((P, B), INF, jnp.int32)
-    ZEROc = jnp.zeros((P, B), jnp.int32)
-    ONEc = jnp.ones((P, B), jnp.int32)
-
-    def shift_down(a):
-        return jnp.concatenate([INFc[:1], a[:-1]], axis=0)
-
-    def shift_up(a):
-        return jnp.concatenate([a[1:], INFc[:1]], axis=0)
-
-    def body(t, st):
-        m1, i1, d1, m2, i2, d2, best = st
-        # gap_ref holds per-step P-row blocks (open track then extend track)
-        # so every slice offset is a multiple of P
-        go_cur = gap_ref[pl.ds(t * P, P), :]
-        go_nxt = gap_ref[pl.ds((t + 1) * P, P), :]
-        ge_cur = gap_ref[pl.ds(Wtrack + t * P, P), :]
-        ge_nxt = gap_ref[pl.ds(Wtrack + (t + 1) * P, P), :]
-        cm2 = cm_ref[pl.ds(t * 2 * P, 2 * P), :]
-        mask = mask_ref[pl.ds(t * P, P), :]
-        seed = (mask & 1) != 0
-        keep = (mask & 2) != 0
-        # ---- even half-step ----
-        m1 = jnp.where(seed, ZEROc, m1)
-        m2 = jnp.where(seed, ZEROc, m2)
-        m1 = jnp.minimum(m1, jnp.minimum(i1, d1))
-        best = jnp.minimum(best, jnp.where(keep, m1, INFc))
-        m1 = m1 + cm2[:P]
-        d1 = shift_down(jnp.minimum(d2 + ge_nxt, jnp.minimum(m2, i2) + go_nxt))
-        i1 = jnp.minimum(i2 + ge_cur, m2 + go_cur) + nuc_prior
-        # ---- odd half-step ----
-        m2 = jnp.minimum(m2, jnp.minimum(i2, d2))
-        best = jnp.minimum(best, jnp.where(keep, m2, INFc))
-        m2 = m2 + cm2[P:]
-        d2 = jnp.minimum(d1 + ge_nxt, jnp.minimum(m1, i1) + go_nxt)
-        i2 = jnp.minimum(shift_up(i1) + ge_nxt, shift_up(m1) + go_nxt) + nuc_prior
-        return m1, i1, d1, m2, i2, d2, best
-
-    init = (INFc, INFc, INFc, INFc, INFc, INFc, INFc)
-    st = jax.lax.fori_loop(0, R + P, body, init)
-    out_ref[0, :] = jnp.min(st[6], axis=0)
+    M, Ii, Dd = step(1, ZERO, M0_gap, INFc, D0)
+    for y in range(2, R + 1):
+        M, Ii, Dd = step(y, M, M, Ii, Dd)
+    out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
-def pairhmm_scores_pallas_v3(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
-                             nuc_prior=DEFAULT_NUC_PRIOR, interpret=False):
-    """Half-step wavefront Pallas scorer (reference SIMD structure)."""
-    B, R = tgt.shape
-    P = pad
-    W = win.shape[1]
+def pairhmm_scores_pallas_v8(tgtT, qualT, winT, opnT, extT, maskT, priorT, *,
+                             pad=8, nuc_prior=DEFAULT_NUC_PRIOR,
+                             interpret=False):
+    """Production Pallas TPU scorer, kernel-layout API.
+
+    Inputs are already transposed: tgtT/qualT (R, B); winT/opnT/extT/maskT/
+    priorT (W, B); B a multiple of 128.  Host code should assemble arrays in
+    this layout directly — the layout change plus in-kernel match costs
+    removes the XLA pre-layout entirely (it used to cost as much as the
+    wavefront itself).
+    """
+    R, B = tgtT.shape
+    D = 2 * pad
+    W = winT.shape[0]
     assert W == R + 2 * pad - 1, (W, R, pad)
-    BLK = V3_LANES if B % V3_LANES == 0 else LANES
+    BLK = LANES
     assert B % BLK == 0, B
-    T = R + P
-    tgtT, qualT, winT, opnT, extT, maskT, priorT = (
-        jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior))
-    # pad the truth-side tracks by one row (the reference clamps gap indices
-    # and treats beyond-end truth as N)
-    winT = jnp.concatenate([winT, jnp.full((1, B), N, jnp.int32)], axis=0)
-    opnT = jnp.concatenate([opnT, opnT[-1:]], axis=0)
-    extT = jnp.concatenate([extT, extT[-1:]], axis=0)
-    maskT = jnp.concatenate([maskT, jnp.full((1, B), PAD_CODE, jnp.int32)], axis=0)
-    priorT = jnp.concatenate([priorT, jnp.zeros((1, B), jnp.int32)], axis=0)
-    cm_e, cm_o = _match_cost_halfstep_tensors(tgtT, qualT, winT, maskT, priorT, R, P, T)
-    # interleave even/odd costs per step: rows [t*2P, t*2P+2P)
-    cm = jnp.concatenate([cm_e.reshape(T, P, B), cm_o.reshape(T, P, B)],
-                         axis=1).reshape(T * 2 * P, B)
-    # window slices need rows up to (T-1) + 1 + P = R + 2P = W + 1 rows;
-    # re-lay the gap tracks as per-step P-row blocks (aligned kernel slices)
-    opnT = jnp.concatenate([opnT, opnT[-1:]], axis=0)
-    extT = jnp.concatenate([extT, extT[-1:]], axis=0)
-    ids = jnp.arange(T + 1)[:, None] + jnp.arange(P)[None, :]
-    go_steps = opnT[ids].reshape((T + 1) * P, B)
-    ge_steps = extT[ids].reshape((T + 1) * P, B)
-    gap = jnp.concatenate([go_steps, ge_steps], axis=0)
-    # per-step lane masks (bit0 seed, bit1 extract), shared across blocks
-    t_grid = jnp.arange(T)[:, None]
-    j_grid = jnp.arange(P)[None, :]
-    mask_bits = ((j_grid == t_grid).astype(jnp.int32)
-                 + 2 * (j_grid == t_grid - R).astype(jnp.int32))
-    mask_bits = jnp.broadcast_to(mask_bits.reshape(T * P, 1), (T * P, BLK))
-    kernel = functools.partial(_pallas_kernel_v3, R=R, pad=pad, nuc_prior=nuc_prior)
+    preT = jnp.cumsum(jnp.asarray(extT, jnp.int32), axis=0)
+    kernel = functools.partial(_pallas_kernel_v8, R=R, pad=pad, nuc_prior=nuc_prior)
 
     def tspec(L):
         return pl.BlockSpec((L, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -514,31 +320,34 @@ def pairhmm_scores_pallas_v3(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         grid=(B // BLK,),
-        in_specs=[tspec(T * 2 * P), tspec(2 * (T + 1) * P),
-                  pl.BlockSpec((T * P, BLK), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[tspec(R), tspec(R), tspec(W), tspec(W), tspec(W), tspec(W),
+                  tspec(W), tspec(W)],
         out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=26 * (R + P) * P * B, bytes_accessed=(2 * T * P + 2 * W) * B * 4,
+            flops=30 * R * D * B, bytes_accessed=(2 * R + 6 * W) * B * 4,
             transcendentals=0),
-    )(cm, gap, mask_bits)
+    )(jnp.asarray(tgtT, jnp.int32), jnp.asarray(qualT, jnp.int32),
+      jnp.asarray(winT, jnp.int32), jnp.asarray(opnT, jnp.int32),
+      jnp.asarray(extT, jnp.int32), jnp.asarray(maskT, jnp.int32),
+      jnp.asarray(priorT, jnp.int32), preT)
     return out[0]
 
 
 def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                    nuc_prior=DEFAULT_NUC_PRIOR):
-    """Dispatch: Pallas v2 on TPU (if enabled), XLA elsewhere.
+    """Dispatch: Pallas v8 on TPU, XLA elsewhere (batch-major inputs).
 
-    The Pallas path is opt-in via OCTOPUS_TPU_USE_PALLAS=1 until the remote
-    Mosaic toolchain stabilises; the XLA path is semantically identical.
+    On the TPU path the transpose to kernel layout happens on the host (the
+    arrays are numpy; `.T` views are materialised during staging), never on
+    device.  Set OCTOPUS_TPU_FORCE_XLA=1 to force the portable path.
     """
-    import os
     platform = jax.default_backend()
     if (platform == "tpu" and tgt.shape[0] % LANES == 0
-            and os.environ.get("OCTOPUS_TPU_USE_PALLAS") == "1"):
-        return pairhmm_scores_pallas_v2(tgt, qual, win, opn, ext, mask, prior,
-                                        pad=pad, nuc_prior=nuc_prior)
+            and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
+        args = [np.ascontiguousarray(np.asarray(a, np.int32).T)
+                for a in (tgt, qual, win, opn, ext, mask, prior)]
+        return pairhmm_scores_pallas_v8(*args, pad=pad, nuc_prior=nuc_prior)
     return pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior,
                               pad=pad, nuc_prior=nuc_prior)
 
@@ -546,7 +355,8 @@ def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
 __all__ = [
     "pairhmm_scores",
     "pairhmm_scores_xla",
-    "pairhmm_scores_pallas",
+    "pairhmm_scores_pallas_v2",
+    "pairhmm_scores_pallas_v8",
     "PAD_CODE",
     "LANES",
     "INF",

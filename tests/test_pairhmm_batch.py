@@ -7,7 +7,8 @@ from octopus_tpu.core.likelihood import pairhmm_ref as ph
 from octopus_tpu.core.likelihood.pairhmm_batch import (
     PAD_CODE,
     pairhmm_scores_xla,
-    pairhmm_scores_pallas,
+    pairhmm_scores_pallas_v2,
+    pairhmm_scores_pallas_v8,
 )
 
 
@@ -82,24 +83,17 @@ def test_xla_uniform_lengths():
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_interpret_matches_xla():
-    batch, cases = make_batch(seed=3, B=128, rmax=32)
-    want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
-    got = np.asarray(pairhmm_scores_pallas(*batch, pad=8, interpret=True))
-    np.testing.assert_array_equal(got, want)
-
-
 def test_pallas_v2_interpret_matches_xla():
-    from octopus_tpu.core.likelihood.pairhmm_batch import pairhmm_scores_pallas_v2
     batch, cases = make_batch(seed=4, B=128, rmax=32)
     want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
     got = np.asarray(pairhmm_scores_pallas_v2(*batch, pad=8, interpret=True))
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_v3_interpret_matches_xla():
-    from octopus_tpu.core.likelihood.pairhmm_batch import pairhmm_scores_pallas_v3
-    batch, cases = make_batch(seed=8, B=128, rmax=32)
+@pytest.mark.parametrize("seed", [3, 8])
+def test_pallas_v8_interpret_matches_xla(seed):
+    batch, cases = make_batch(seed=seed, B=128, rmax=32)
     want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
-    got = np.asarray(pairhmm_scores_pallas_v3(*batch, pad=8, interpret=True))
+    argsT = [np.ascontiguousarray(a.T) for a in batch]
+    got = np.asarray(pairhmm_scores_pallas_v8(*argsT, pad=8, interpret=True))
     np.testing.assert_array_equal(got, want)
