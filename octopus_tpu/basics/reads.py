@@ -57,6 +57,9 @@ class ReadBatch:
     template_lengths: np.ndarray | None = None  # int32 (n,)
     names: list[str] | None = None
     name_hashes: np.ndarray | None = None   # uint64 (n,) for duplicate/linking logic
+    # optional raw BAM aux/tag bytes (BamFile.fetch(keep_aux=True))
+    aux: np.ndarray | None = None            # uint8 flat aux bytes
+    aux_offsets: np.ndarray | None = None    # int64 (n+1,) into aux
 
     def __len__(self) -> int:
         return len(self.begins)
@@ -83,6 +86,25 @@ class ReadBatch:
     def is_reverse(self) -> np.ndarray:
         return (self.flags & FLAG_REVERSE) != 0
 
+    def tag(self, i: int, name: str):
+        """Parse one BAM aux tag of read i (None when absent or aux not
+        retained); mirrors AlignedRead::annotation (aligned_read.hpp)."""
+        if self.aux is None:
+            return None
+        raw = self.aux[self.aux_offsets[i]:self.aux_offsets[i + 1]].tobytes()
+        want = name.encode()
+        off = 0
+        while off + 3 <= len(raw):
+            tag = raw[off:off + 2]
+            typ = raw[off + 2:off + 3]
+            off += 3
+            val, off = _parse_aux_value(raw, off, typ)
+            if off is None:
+                return None
+            if tag == want:
+                return val
+        return None
+
     def region(self, i: int) -> GenomicRegion:
         return GenomicRegion(self.contig, int(self.begins[i]), int(self.ends[i]))
 
@@ -103,6 +125,12 @@ class ReadBatch:
         new_cigar_offsets = np.zeros(len(index) + 1, dtype=np.int64)
         np.cumsum(clens, out=new_cigar_offsets[1:])
         gather_cig = _ragged_gather_index(self.cigar_offsets, index, new_cigar_offsets)
+        aux = aux_offsets = None
+        if self.aux is not None:
+            alens = np.diff(self.aux_offsets)[index]
+            aux_offsets = np.zeros(len(index) + 1, dtype=np.int64)
+            np.cumsum(alens, out=aux_offsets[1:])
+            aux = self.aux[_ragged_gather_index(self.aux_offsets, index, aux_offsets)]
         return ReadBatch(
             contig=self.contig,
             begins=self.begins[index],
@@ -119,6 +147,8 @@ class ReadBatch:
             template_lengths=None if self.template_lengths is None else self.template_lengths[index],
             names=None if self.names is None else [self.names[int(i)] for i in index],
             name_hashes=None if self.name_hashes is None else self.name_hashes[index],
+            aux=aux,
+            aux_offsets=aux_offsets,
         )
 
     def overlapping(self, begin: int, end: int) -> "ReadBatch":
@@ -173,7 +203,46 @@ class ReadBatch:
             template_lengths=_cat_optional([b.template_lengths for b in batches]),
             names=[n for b in batches for n in b.names] if have_names else None,
             name_hashes=_cat_optional([b.name_hashes for b in batches]),
+            aux=_cat_optional([b.aux for b in batches]),
+            aux_offsets=(_concat_offsets([b.aux_offsets for b in batches])
+                         if all(b.aux_offsets is not None for b in batches) else None),
         )
+
+
+import struct as _struct
+
+_AUX_SCALAR = {b"c": ("b", 1), b"C": ("B", 1), b"s": ("<h", 2), b"S": ("<H", 2),
+               b"i": ("<i", 4), b"I": ("<I", 4), b"f": ("<f", 4), b"A": ("c", 1)}
+
+
+def _parse_aux_value(raw: bytes, off: int, typ: bytes):
+    """Value + next offset for one BAM aux field body; (None, None) on a
+    malformed record."""
+    if typ in _AUX_SCALAR:
+        fmt, size = _AUX_SCALAR[typ]
+        if off + size > len(raw):
+            return None, None
+        v = _struct.unpack_from(fmt, raw, off)[0]
+        if typ == b"A":
+            v = v.decode("latin-1")
+        return v, off + size
+    if typ in (b"Z", b"H"):
+        end = raw.find(b"\x00", off)
+        if end < 0:
+            return None, None
+        return raw[off:end].decode("latin-1"), end + 1
+    if typ == b"B":
+        if off + 5 > len(raw):
+            return None, None
+        sub = raw[off:off + 1]
+        count = _struct.unpack_from("<I", raw, off + 1)[0]
+        fmt, size = _AUX_SCALAR[sub]
+        start = off + 5
+        if start + count * size > len(raw):
+            return None, None
+        vals = list(_struct.unpack_from("<" + fmt.lstrip("<") * count, raw, start))
+        return vals, start + count * size
+    return None, None
 
 
 def _ragged_gather_index(old_offsets: np.ndarray, index: np.ndarray, new_offsets: np.ndarray) -> np.ndarray:

@@ -163,6 +163,8 @@ def collate(args) -> CollatedComponents:
         downsample_above=args.downsample_above,
         downsample_target=args.downsample_target,
         disable_preprocessing=args.disable_read_preprocessing,
+        assembler_enabled=not (args.disable_assembly_candidate_generator
+                               or args.fast or args.very_fast),
     )
     scanner = ScannerOptions(
         snv_threshold=args.min_pileup_base_quality,

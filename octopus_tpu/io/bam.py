@@ -178,7 +178,7 @@ class BamFile:
         return self.header.samples
 
     def fetch(self, contig: str, begin: int, end: int,
-              keep_names: bool = False) -> dict[str, ReadBatch]:
+              keep_names: bool = False, keep_aux: bool = False) -> dict[str, ReadBatch]:
         """Reads overlapping the region, decoded per sample."""
         if self.index is None:
             raise ValueError(f"{self.path}: no BAI index for region queries")
@@ -190,12 +190,12 @@ class BamFile:
         if not chunks:
             return {}
         buf = b"".join(self._bgzf.read_range(beg, cend) for beg, cend in chunks)
-        return self._decode_records(buf, ref_id, begin, end, keep_names)
+        return self._decode_records(buf, ref_id, begin, end, keep_names, keep_aux)
 
     # -- vectorised record decode -----------------------------------------
 
     def _decode_records(self, buf: bytes, ref_id: int, begin: int, end: int,
-                        keep_names: bool) -> dict[str, ReadBatch]:
+                        keep_names: bool, keep_aux: bool = False) -> dict[str, ReadBatch]:
         arr = np.frombuffer(buf, dtype=np.uint8)
         n_bytes = len(arr)
         # first pass: record boundaries
@@ -304,6 +304,25 @@ class BamFile:
         if keep_names:
             names = name_bytes
 
+        aux_all = aux_offs_all = None
+        if keep_aux:
+            # `starts` is already filtered to kept records here, so u8 reads
+            # the kept records' block sizes directly
+            block_sizes = u8(0) | (u8(1) << 8) | (u8(2) << 16) | (u8(3) << 24)
+            a_start = starts + 36 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+            a_end = starts + 4 + block_sizes
+            a_lens = np.maximum(a_end - a_start, 0)
+            aux_offs_all = np.zeros(n + 1, np.int64)
+            np.cumsum(a_lens, out=aux_offs_all[1:])
+            total_aux = int(aux_offs_all[-1])
+            if total_aux:
+                gidx = (np.repeat(a_start, a_lens)
+                        + np.arange(total_aux)
+                        - np.repeat(aux_offs_all[:-1], a_lens))
+                aux_all = arr[gidx]
+            else:
+                aux_all = np.zeros(0, np.uint8)
+
         contig = self.header.ref_names[ref_id]
         out: dict[str, ReadBatch] = {}
         for sample in self.header.samples:
@@ -344,6 +363,14 @@ class BamFile:
                        + np.arange(int(ops_sel.sum()))
                        - np.repeat(batch.cigar_offsets[:-1], ops_sel))
             batch.cigar_ops = cigar_ops[cgather]
+            if aux_all is not None:
+                alens = np.diff(aux_offs_all)[sel]
+                batch.aux_offsets = np.zeros(len(sel) + 1, np.int64)
+                np.cumsum(alens, out=batch.aux_offsets[1:])
+                agather = (np.repeat(aux_offs_all[sel], alens)
+                           + np.arange(int(alens.sum()))
+                           - np.repeat(batch.aux_offsets[:-1], alens))
+                batch.aux = aux_all[agather]
             out[sample] = batch.sorted_by_begin()
         return out
 

@@ -1,17 +1,13 @@
-"""Read preprocessing: transforms -> filters -> downsampling.
+"""Read preprocessing: prefilter transforms -> filters -> postfilter
+transforms -> downsampling.
 
 Capability-equivalent to the reference's ReadPipe
-(src/readpipe/read_pipe.{hpp,cpp}) with the default chain built by
-option_collation.cpp make_read_pipe/make_read_filterer/make_read_transformers:
+(src/readpipe/read_pipe.{hpp,cpp}); the chains are composed exactly as
+option_collation.cpp make_read_transformers (:803-862) and
+make_read_filterer (:903-1009) do, driven by the same option names.
 
-prefilter transforms: base-quality capping, soft-clip boundary masking;
-filters: valid qualities, well-formed CIGAR, mapped, MQ >= 5, >= 20 bases of
-quality >= 20, not duplicate (5'-position + cigar definition), not marked
-duplicate/QC-fail, no secondary/supplementary;
-downsampling: coverage-targeted above 1000x down to 500x.
-
-Everything operates on ReadBatch columns; no per-read python in the hot
-paths except the duplicate grouping (hash-grouped numpy).
+Everything operates on ReadBatch columns; the only per-read python is in the
+clip-aware transforms and duplicate grouping.
 """
 
 from __future__ import annotations
@@ -20,33 +16,54 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..basics import cigar as cg
-from ..basics.reads import (
-    FLAG_DUPLICATE,
-    FLAG_QC_FAIL,
-    FLAG_REVERSE,
-    FLAG_SECONDARY,
-    FLAG_SUPPLEMENTARY,
-    FLAG_UNMAPPED,
-    ReadBatch,
-)
+from ..basics.reads import ReadBatch
+from . import filters as rf
+from . import transforms as rt
 
 
 @dataclass
 class ReadPipeConfig:
-    max_base_quality: int | None = None        # cap (max-base-quality)
-    mask_soft_clipped_boundary_bases: int = 2
+    # transforms
+    max_base_quality: int | None = None            # --max-base-quality
+    mask_tails: int | None = None                  # --mask-tails
+    mask_low_quality_tails: int | None = None      # --mask-low-quality-tails
+    mask_soft_clipped_bases: bool = False          # soft-clip full masking
+    mask_soft_clipped_boundary_bases: int = 2      # --mask-soft-clipped-boundary-bases
+    soft_clip_mask_threshold: int | None = None    # --soft-clip-mask-threshold
+    soft_clip_masking: bool = True                 # --disable-soft-clip-masking
+    assembler_enabled: bool = False                # picks the low-quality clip chain
+    adapter_masking: bool = True                   # --disable-adapter-masking
+    overlap_masking: bool = True                   # --disable-overlap-masking
+    mask_inverted_soft_clipping: bool = False      # --mask-inverted-soft-clipping
+    mask_3prime_shifted_soft_clipped_heads: bool = False
+    # filters
+    consider_unmapped_reads: bool = False
     min_mapping_quality: int = 5
     good_base_quality: int = 20
     min_good_bases: int = 20
+    min_good_base_fraction: float | None = None
+    min_read_length: int | None = None
+    max_read_length: int | None = None
     allow_marked_duplicates: bool = False
     allow_octopus_duplicates: bool = False
+    duplicate_read_detection_policy: str = "relaxed"   # relaxed | aggressive
     allow_qc_fails: bool = False
+    no_reads_with_tag: list[tuple[str, str | None]] = field(default_factory=list)
     allow_secondary: bool = False
     allow_supplementary: bool = False
+    no_reads_with_unmapped_segments: bool = False
+    no_reads_with_distant_segments: bool = False
+    no_adapter_contaminated_reads: bool = False
+    max_decoy_supplementary_mq: int | None = None
+    max_unplaced_supplementary_mq: int | None = None
+    max_unlocalized_supplementary_mq: int | None = None
+    # downsampling
     downsample_above: int = 1000
     downsample_target: int = 500
+    disable_downsampling: bool = False
     disable_preprocessing: bool = False
+    # reference context for the inversion/shift masks
+    reference: object | None = None
 
 
 @dataclass
@@ -71,107 +88,114 @@ class ReadPipe:
         if len(batch) == 0:
             return batch, report
         if not self.config.disable_preprocessing:
-            batch = self._transform(batch)
+            batch = self._prefilter_transform(batch)
         batch = batch.take(self._filter_mask(batch))
         report.n_filtered = len(batch)
         if not self.config.disable_preprocessing:
+            batch = self._postfilter_transform(batch)
             batch = self._downsample(batch)
         report.n_downsampled = len(batch)
         return batch, report
 
-    # -- transforms --------------------------------------------------------
+    # -- transform chains (option_collation.cpp:803-862) --------------------
 
-    def _transform(self, batch: ReadBatch) -> ReadBatch:
+    def _prefilter_transform(self, batch: ReadBatch) -> ReadBatch:
         cfg = self.config
         quals = batch.quals.copy()
+        rt.capitalise_bases(batch, quals)
         if cfg.max_base_quality is not None:
-            np.minimum(quals, cfg.max_base_quality, out=quals)
-        if cfg.mask_soft_clipped_boundary_bases > 0:
-            self._mask_soft_clip_boundaries(batch, quals, cfg.mask_soft_clipped_boundary_bases)
+            rt.cap_base_qualities(batch, quals, cfg.max_base_quality)
+        if cfg.mask_tails:
+            rt.mask_tail(batch, quals, cfg.mask_tails)
+        if cfg.mask_low_quality_tails is not None:
+            rt.mask_low_quality_tails(batch, quals, cfg.mask_low_quality_tails)
+        if cfg.soft_clip_masking:
+            boundary = cfg.mask_soft_clipped_boundary_bases
+            if boundary > 0:
+                if cfg.soft_clip_mask_threshold is not None:
+                    rt.mask_low_quality_soft_clipped_boundary_bases(
+                        batch, quals, boundary, cfg.soft_clip_mask_threshold)
+                elif cfg.assembler_enabled:
+                    rt.mask_low_quality_soft_clipped_boundary_bases(batch, quals, boundary, 3)
+                    rt.mask_low_average_quality_soft_clipped_tails(batch, quals, 10, 5)
+                    rt.mask_clipped_duplicated_bases(batch, quals)
+                else:
+                    rt.mask_soft_clipped_boundary_bases(batch, quals, boundary)
+            else:
+                if cfg.soft_clip_mask_threshold is not None:
+                    rt.mask_low_quality_soft_clipped_bases(batch, quals, cfg.soft_clip_mask_threshold)
+                elif cfg.assembler_enabled:
+                    rt.mask_low_quality_soft_clipped_bases(batch, quals, 3)
+                    rt.mask_low_average_quality_soft_clipped_tails(batch, quals, 10, 5)
+                    rt.mask_clipped_duplicated_bases(batch, quals)
+                else:
+                    rt.mask_soft_clipped(batch, quals)
+        if cfg.adapter_masking:
+            rt.mask_adapters(batch, quals)
+        if cfg.mask_inverted_soft_clipping and cfg.reference is not None:
+            rt.mask_inverted_soft_clipped_read_ends(batch, quals, cfg.reference,
+                                                    batch.contig, 10, 500)
+        if cfg.mask_3prime_shifted_soft_clipped_heads and cfg.reference is not None:
+            rt.mask_3prime_shifted_soft_clipped_heads(batch, quals, cfg.reference,
+                                                      batch.contig, 10, 500)
         batch.quals = quals
         return batch
 
-    @staticmethod
-    def _mask_soft_clip_boundaries(batch: ReadBatch, quals: np.ndarray, boundary: int) -> None:
-        """Zero qualities of soft-clipped bases plus `boundary` adjacent
-        aligned bases (MaskSoftClippedBoundraryBases)."""
-        for i in range(len(batch)):
-            cigar = batch.cigar(i)
-            if len(cigar) == 0 or not (cigar[:, 1] == cg.S).any():
-                continue
-            left, right = cg.soft_clip_sizes(cigar)
-            o = batch.seq_offsets[i]
-            L = batch.seq_offsets[i + 1] - o
-            if left:
-                quals[o:o + min(left + boundary, L)] = 0
-            if right:
-                start = max(L - right - boundary, 0)
-                quals[o + start:o + L] = 0
+    def _postfilter_transform(self, batch: ReadBatch) -> ReadBatch:
+        cfg = self.config
+        quals = batch.quals
+        if cfg.adapter_masking:
+            rt.mask_template_adapters(batch, quals)
+        if cfg.overlap_masking:
+            rt.mask_strand_of_duplicated_bases(batch, quals)
+        rt.clear_annotations(batch, quals)
+        return batch
 
-    # -- filters -----------------------------------------------------------
+    # -- filter chain (option_collation.cpp:903-1009) -----------------------
 
     def _filter_mask(self, batch: ReadBatch) -> np.ndarray:
         cfg = self.config
-        n = len(batch)
-        keep = np.ones(n, bool)
-        flags = batch.flags
-        keep &= (flags & FLAG_UNMAPPED) == 0
-        # well-formed cigar: nonzero ops and query span == seq length
-        lens = batch.lengths()
-        qspans = np.zeros(n, np.int64)
-        op_read = np.repeat(np.arange(n), np.diff(batch.cigar_offsets))
-        consumes = cg.CONSUMES_QUERY[batch.cigar_ops[:, 1]]
-        np.add.at(qspans, op_read, np.where(consumes, batch.cigar_ops[:, 0], 0))
-        keep &= qspans == lens
-        keep &= np.diff(batch.cigar_offsets) > 0
+        # mandatory
+        keep = rf.has_valid_base_qualities(batch)
+        keep &= rf.has_well_formed_cigar(batch)
         if cfg.disable_preprocessing:
             return keep
-        keep &= batch.mapq >= cfg.min_mapping_quality
-        # sufficient good-quality bases
-        good = np.zeros(n, np.int64)
-        read_of_base = np.repeat(np.arange(n), lens)
-        np.add.at(good, read_of_base, (batch.quals >= cfg.good_base_quality).astype(np.int64))
-        keep &= good >= cfg.min_good_bases
+        if not cfg.consider_unmapped_reads:
+            keep &= rf.is_mapped(batch)
+        if cfg.min_mapping_quality > 0:
+            keep &= rf.is_good_mapping_quality(batch, cfg.min_mapping_quality)
+        if cfg.good_base_quality > 0 and cfg.min_good_bases > 0:
+            keep &= rf.has_sufficient_good_quality_bases(
+                batch, cfg.good_base_quality, cfg.min_good_bases)
+        if cfg.good_base_quality > 0 and cfg.min_good_base_fraction is not None:
+            keep &= rf.has_sufficient_good_base_fraction(
+                batch, cfg.good_base_quality, cfg.min_good_base_fraction)
+        if cfg.min_read_length is not None:
+            keep &= rf.is_long(batch, cfg.min_read_length)
+        if cfg.max_read_length is not None:
+            keep &= rf.is_short(batch, cfg.max_read_length)
         if not cfg.allow_marked_duplicates:
-            keep &= (flags & FLAG_DUPLICATE) == 0
+            keep &= rf.is_not_marked_duplicate(batch)
         if not cfg.allow_qc_fails:
-            keep &= (flags & FLAG_QC_FAIL) == 0
+            keep &= rf.is_not_marked_qc_fail(batch)
+        for tag, annotation in cfg.no_reads_with_tag:
+            keep &= rf.not_has_tag(batch, tag, annotation)
         if not cfg.allow_secondary:
-            keep &= (flags & FLAG_SECONDARY) == 0
+            keep &= rf.is_not_secondary_alignment(batch)
         if not cfg.allow_supplementary:
-            keep &= (flags & FLAG_SUPPLEMENTARY) == 0
+            keep &= rf.is_not_supplementary_alignment(batch)
+        if cfg.no_reads_with_unmapped_segments:
+            keep &= rf.is_next_segment_mapped(batch)
+            keep &= rf.is_proper_template(batch)
+        if cfg.no_reads_with_distant_segments:
+            keep &= rf.is_local_template(batch)
+        if cfg.no_adapter_contaminated_reads:
+            keep &= rf.is_not_contaminated(batch)
+        keep &= rf.no_decoy_supplementary_alignments(batch, cfg.max_decoy_supplementary_mq)
+        keep &= rf.no_unplaced_supplementary_alignments(batch, cfg.max_unplaced_supplementary_mq)
+        keep &= rf.no_unlocalized_supplementary_alignments(batch, cfg.max_unlocalized_supplementary_mq)
         if not cfg.allow_octopus_duplicates:
-            keep &= self._not_duplicate_mask(batch, keep)
-        return keep
-
-    @staticmethod
-    def _not_duplicate_mask(batch: ReadBatch, candidate: np.ndarray) -> np.ndarray:
-        """Five-prime position + cigar duplicate definition: among reads with
-        identical (5' position, strand, cigar, mate begin), keep the one with
-        the highest base-quality sum."""
-        n = len(batch)
-        lens = batch.lengths()
-        read_of_base = np.repeat(np.arange(n), lens)
-        qsums = np.zeros(n, np.int64)
-        np.add.at(qsums, read_of_base, batch.quals.astype(np.int64))
-        is_rev = batch.is_reverse()
-        five_prime = np.where(is_rev, batch.ends, batch.begins)
-        mate = batch.mate_begins if batch.mate_begins is not None else np.zeros(n, np.int64)
-        # group key: hash of (five_prime, strand, cigar bytes, mate)
-        keys = {}
-        keep = np.ones(n, bool)
-        for i in np.flatnonzero(candidate):
-            i = int(i)
-            key = (int(five_prime[i]), bool(is_rev[i]),
-                   batch.cigar(i).tobytes(), int(mate[i]))
-            best = keys.get(key)
-            if best is None:
-                keys[key] = i
-            elif qsums[i] > qsums[best]:
-                keep[best] = False
-                keys[key] = i
-            else:
-                keep[i] = False
+            keep &= rf.is_not_duplicate(batch, keep)
         return keep
 
     # -- downsampling ------------------------------------------------------
@@ -181,7 +205,7 @@ class ReadPipe:
         while any position exceeds `downsample_above`, remove random reads
         covering the deepest positions until max depth <= target."""
         cfg = self.config
-        if len(batch) == 0:
+        if cfg.disable_downsampling or len(batch) == 0:
             return batch
         lo = int(batch.begins.min())
         hi = int(batch.ends.max())
