@@ -18,12 +18,12 @@ def main(argv: list[str] | None = None) -> int:
         from . import __version__
         print(f"octopus-tpu {__version__}")
         return 0
-    if not args.reference or not args.reads:
+    if not args.reference or not (args.reads or args.reads_file):
         print("octopus-tpu: --reference and --reads are required to call variants",
               file=sys.stderr)
         return 2
     from .logging_.progress import init_logging
-    init_logging(debug=args.debug, trace=args.trace)
+    init_logging(debug=bool(args.debug), trace=bool(args.trace))
     if getattr(args, "filter_vcf", None):
         from .csr_run import run_filter_vcf
         return run_filter_vcf(args)

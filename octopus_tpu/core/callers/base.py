@@ -39,14 +39,36 @@ class BaseCallerConfig:
     min_variant_posterior_phred: float = 0.1
     max_haplotypes: int = 200
     snp_heterozygosity: float = 0.001
+    snp_heterozygosity_stdev: float = 0.01
     indel_heterozygosity: float = 0.0001
     haplotype_pad: int = 30
     likelihood: LikelihoodConfig = field(default_factory=LikelihoodConfig)
     scanner: ScannerOptions = field(default_factory=ScannerOptions)
     use_assembler: bool = False
+    use_pileup_scanner: bool = True
+    use_repeat_scanner: bool = True
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
     source_vcf: str | None = None
-    read_linkage: str = "none"        # none | paired (AlignedTemplate joint scoring)
+    min_source_candidate_quality: float | None = None
+    read_linkage: str = "paired"      # none | paired | linked (AlignedTemplate joint scoring)
+    # haplotype generation limits (haplotype_generator.hpp:44-52 + CLI overrides)
+    haplotype_holdout_threshold: int = 2500
+    haplotype_overflow: int = 200000
+    max_holdout_depth: int = 20
+    lagging_level: str = "moderate"   # none|conservative|moderate|optimistic|aggressive
+    extension_level: str = "moderate"
+    backtrack_level: str = "none"
+    protect_reference_haplotype: bool = True
+    min_protected_haplotype_posterior: float = 1e-10
+    # genotype model limits
+    use_uniform_genotype_priors: bool = False
+    max_genotypes: int | None = None
+    max_genotype_combinations: int | None = None
+    max_vb_seeds: int = 12
+    # phasing / region control
+    min_phase_score: float = 5.0
+    bad_region_tolerance: str = "normal"
+    model_posterior_policy: str = "all"
     region_merge_distance: int | None = None   # default: read-length scale
     use_device: bool = True
 
@@ -104,29 +126,37 @@ class CallerBase:
         vargen = VariantGenerator(
             self.reference, self.contig,
             VariantGeneratorConfig(scanner=cfg.scanner,
+                                   use_pileup_scanner=cfg.use_pileup_scanner,
                                    use_assembler=cfg.use_assembler,
+                                   use_repeat_scanner=cfg.use_repeat_scanner,
                                    assembler=cfg.assembler,
-                                   source_vcf=cfg.source_vcf))
+                                   source_vcf=cfg.source_vcf,
+                                   min_source_quality=cfg.min_source_candidate_quality))
         for s, batch in enumerate(reads_by_sample):
             vargen.add_reads(s, batch)
         candidates = vargen.generate(region_begin, region_end)
         if not candidates:
             return []
-        from ..tools.bad_region_detector import (Severity, assess_region,
-                                                 median_depth)
+        from ..tools.bad_region_detector import (BadRegionConfig, Severity,
+                                                 assess_region, median_depth)
         typical = max((median_depth(b) for b in reads_by_sample if len(b)),
                       default=0.0)
+        bad_region_config = BadRegionConfig.from_tolerance(cfg.bad_region_tolerance)
         calls: list[SiteCall] = []
         merge_distance = cfg.region_merge_distance
         if merge_distance is None:
             # phasing range: variants joinable by one read (or one fragment
-            # under paired linkage) share an active region — the role of the
-            # reference's haplotype-tree lagging across windows
-            merge_distance = 350 if cfg.read_linkage == "paired" else 150
+            # under paired/linked linkage) share an active region — the role
+            # of the reference's haplotype-tree lagging across windows
+            merge_distance = 350 if cfg.read_linkage in ("paired", "linked") else 150
         for begin, end, variants in propose_active_regions(
                 candidates, merge_distance=merge_distance):
             merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
-            severity = assess_region(merged, begin, end, len(variants), typical)
+            if bad_region_config is not None:
+                severity = assess_region(merged, begin, end, len(variants),
+                                         typical, bad_region_config)
+            else:
+                severity = Severity.NONE
             if severity == Severity.HIGH:
                 continue   # candidates erased (caller.cpp:185-199)
             ctx = self._build_context(begin, end, variants, reads_by_sample)
@@ -165,7 +195,7 @@ class CallerBase:
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
                      substitution_masks=[h.substitution_mask() for h in haplotypes])
         matrices = [lik.sample_matrix(s) for s in range(len(active))]
-        if cfg.read_linkage == "paired":
+        if cfg.read_linkage in ("paired", "linked"):
             # AlignedTemplate joint scoring: linked reads' log-likelihoods sum
             # (haplotype_likelihood_model.cpp:306-311)
             matrices = [_link_template_columns(m, active[s])

@@ -20,7 +20,7 @@ import numpy as np
 from ...basics.reads import ReadBatch
 from ..hapgen.generator import group_exclusive_sites
 from ..models.individual import IndividualModel
-from ..tools.phaser import Phaser
+from ..tools.phaser import Phaser, PhaserConfig
 from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
@@ -62,7 +62,7 @@ class IndividualCaller(CallerBase):
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
-        phase_sets = Phaser().phase(site_alleles, genotypes, latents.posteriors)
+        phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents.posteriors)
         site_phase_set = {}
         for ps in phase_sets:
             ps_begin = min(site_groups[si][0].begin for si in ps.site_indices)

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..hapgen.generator import group_exclusive_sites
 from ..models.individual import IndividualModel, logsumexp
-from ..tools.phaser import Phaser
+from ..tools.phaser import Phaser, PhaserConfig
 from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
@@ -76,7 +76,7 @@ class PopulationCaller(CallerBase):
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
         # phase per sample 0 for PS grouping (shared sites)
-        phase_sets = Phaser().phase(site_alleles, genotypes, latents[0].posteriors)
+        phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents[0].posteriors)
         site_ps = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)
@@ -150,7 +150,7 @@ class PopulationCaller(CallerBase):
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
-        phase_sets = Phaser().phase(site_alleles, genotypes, latents[0].posteriors)
+        phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents[0].posteriors)
         site_ps = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)

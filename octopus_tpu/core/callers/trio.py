@@ -17,7 +17,7 @@ import numpy as np
 from ..hapgen.generator import group_exclusive_sites
 from ..models.denovo import DeNovoModel, DeNovoParams
 from ..models.trio import TrioModel
-from ..tools.phaser import Phaser
+from ..tools.phaser import Phaser, PhaserConfig
 from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
@@ -81,7 +81,7 @@ class TrioCaller(CallerBase):
         # phase over the child's marginal posterior
         child_post = np.zeros(len(genotypes))
         np.add.at(child_post, combos[:, 2], latents.posteriors)
-        phase_sets = Phaser().phase(site_alleles, genotypes, child_post)
+        phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, child_post)
         site_ps = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)

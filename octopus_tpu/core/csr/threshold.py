@@ -21,9 +21,15 @@ DEFAULT_GERMLINE_EXPRESSION = (
     "| SB > 0.98 | BQ < 15 | DP < 1 | ADP < 1"
 )
 DEFAULT_SOMATIC_EXPRESSION = (
-    "QUAL < 2 | GQ < 20 | MQ < 30 | SB > 0.9 | BQ < 20 | DP < 3 "
-    "| ADP < 1 | FRF > 0.5 | AD < 1 | AF < 0.0001"
+    "QUAL < 2 | GQ < 20 | MQ < 30 | SMQ < 40 | SB > 0.9 | SD > 0.9 | BQ < 20 "
+    "| DP < 3 | ADP < 1 | MF > 0.2 | NC > 1 | FRF > 0.5 | AD < 1 | AF < 0.0001"
 )
+DEFAULT_DENOVO_EXPRESSION = (
+    "QUAL < 50 | PP < 40 | GQ < 20 | MQ < 30 | AD < 1 | AF < 0.1 | AFB > 0.2 "
+    "| SB > 0.95 | BQ < 20 | DP < 10 | ADP < 1 | DC > 1 | MF > 0.2 | FRF > 0.5 "
+    "| MP < 30 | MQ0 > 2"
+)
+DEFAULT_REFCALL_EXPRESSION = "QUAL < 2 | GQ < 20 | MQ < 10 | DP < 10 | MF > 0.2"
 
 
 @dataclass(frozen=True)
@@ -70,18 +76,36 @@ def parse_filter_expression(expr: str) -> list[Clause]:
 
 
 class ThresholdFilter:
-    def __init__(self, expression: str = DEFAULT_GERMLINE_EXPRESSION,
-                 somatic_expression: str = DEFAULT_SOMATIC_EXPRESSION):
-        self.clauses = parse_filter_expression(expression)
-        self.somatic_clauses = parse_filter_expression(somatic_expression)
+    def __init__(self, expression: str | None = None,
+                 somatic_expression: str | None = None,
+                 denovo_expression: str | None = None,
+                 refcall_expression: str | None = None):
+        self.clauses = parse_filter_expression(
+            expression or DEFAULT_GERMLINE_EXPRESSION)
+        self.somatic_clauses = parse_filter_expression(
+            somatic_expression or DEFAULT_SOMATIC_EXPRESSION)
+        self.denovo_clauses = parse_filter_expression(
+            denovo_expression or DEFAULT_DENOVO_EXPRESSION)
+        self.refcall_clauses = parse_filter_expression(
+            refcall_expression or DEFAULT_REFCALL_EXPRESSION)
 
-    def classify(self, measures: dict, somatic: bool = False) -> list[str]:
+    def classify(self, measures: dict, somatic: bool = False,
+                 denovo: bool = False, refcall: bool = False) -> list[str]:
         """Failed filter IDs ([] == PASS)."""
-        clauses = self.somatic_clauses if somatic else self.clauses
+        if refcall:
+            clauses = self.refcall_clauses
+        elif denovo:
+            clauses = self.denovo_clauses
+        elif somatic:
+            clauses = self.somatic_clauses
+        else:
+            clauses = self.clauses
         return [c.filter_id for c in clauses if c.fails(measures)]
 
     def filter_ids(self) -> list[str]:
-        return sorted({c.filter_id for c in self.clauses + self.somatic_clauses})
+        return sorted({c.filter_id for c in (self.clauses + self.somatic_clauses
+                                             + self.denovo_clauses
+                                             + self.refcall_clauses)})
 
 
 __all__ = [
@@ -90,4 +114,6 @@ __all__ = [
     "Clause",
     "DEFAULT_GERMLINE_EXPRESSION",
     "DEFAULT_SOMATIC_EXPRESSION",
+    "DEFAULT_DENOVO_EXPRESSION",
+    "DEFAULT_REFCALL_EXPRESSION",
 ]

@@ -32,6 +32,21 @@ class BadRegionConfig:
     candidate_density_high: float = 0.5
     min_region_size: int = 20
 
+    @staticmethod
+    def from_tolerance(level: str) -> "BadRegionConfig | None":
+        """--bad-region-tolerance mapping (bad_region_detector.hpp:19-74):
+        lower tolerance flags regions sooner; UNLIMITED disables detection."""
+        level = level.lower()
+        if level == "unlimited":
+            return None
+        scale = {"low": 0.5, "normal": 1.0, "high": 2.0}[level]
+        return BadRegionConfig(
+            depth_multiple_low=4.0 * scale,
+            depth_multiple_high=8.0 * scale,
+            candidate_density_low=0.2 * scale,
+            candidate_density_high=0.5 * scale,
+        )
+
 
 def median_depth(batch: ReadBatch) -> float:
     if len(batch) == 0:

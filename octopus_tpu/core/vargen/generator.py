@@ -19,11 +19,13 @@ from .cigar_scanner import CigarScanner, ScannerOptions
 @dataclass
 class VariantGeneratorConfig:
     scanner: ScannerOptions = field(default_factory=ScannerOptions)
+    use_pileup_scanner: bool = True       # --disable-pileup-candidate-generator
     use_assembler: bool = False
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
     use_repeat_scanner: bool = True
     repeat_scanner: RepeatScannerOptions = field(default_factory=RepeatScannerOptions)
     source_vcf: str | None = None         # --source-candidates
+    min_source_quality: float | None = None   # --min-source-candidate-quality
     max_variant_size: int = 2000
 
 
@@ -47,8 +49,9 @@ class VariantGenerator:
 
     def generate(self, begin: int, end: int) -> list[Variant]:
         out: dict[Variant, None] = {}
-        for v in self._scanner.generate(begin, end):
-            out.setdefault(v)
+        if self.config.use_pileup_scanner:
+            for v in self._scanner.generate(begin, end):
+                out.setdefault(v)
         if self._assembler is not None:
             for sample, batch in self._batches:
                 for v in self._assembler.generate(batch, begin, end):
@@ -71,6 +74,9 @@ class VariantGenerator:
         out = []
         for rec in VcfReader(self.config.source_vcf):
             if rec.chrom != self.contig:
+                continue
+            if (self.config.min_source_quality is not None
+                    and (rec.qual is None or rec.qual < self.config.min_source_quality)):
                 continue
             pos0 = rec.pos - 1
             if pos0 >= end or pos0 + len(rec.ref) <= begin:

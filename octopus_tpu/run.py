@@ -115,6 +115,42 @@ def _windows_from_density(contig, begin, end, density, target_reads,
     return out
 
 
+def _contig_order(reference, order: str) -> list[str]:
+    """--contig-output-order (option_parser.cpp ContigOutputOrder)."""
+    names = list(reference.contig_names())
+    if order == "LEXICOGRAPHICAL_ASCENDING":
+        return sorted(names)
+    if order == "LEXICOGRAPHICAL_DESCENDING":
+        return sorted(names, reverse=True)
+    if order == "CONTIG_SIZE_ASCENDING":
+        return sorted(names, key=reference.contig_size)
+    if order == "CONTIG_SIZE_DESCENDING":
+        return sorted(names, key=reference.contig_size, reverse=True)
+    return names   # REFERENCE_INDEX / AS_IN_REFERENCE / UNSPECIFIED
+
+
+def _subtract_regions(regions, skip):
+    """Remove skip intervals from the search regions (--skip-regions)."""
+    out = []
+    for contig, begin, end in regions:
+        pieces = [(begin, end)]
+        for sc, sb, se in skip:
+            if sc != contig:
+                continue
+            nxt = []
+            for b, e in pieces:
+                if se <= b or sb >= e:
+                    nxt.append((b, e))
+                    continue
+                if b < sb:
+                    nxt.append((b, sb))
+                if se < e:
+                    nxt.append((se, e))
+            pieces = nxt
+        out.extend((contig, b, e) for b, e in pieces if e > b)
+    return out
+
+
 def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
     """'chr1:100-200' / 'chr1:100' / 'chr1' (1-based inclusive input)."""
     if ":" not in text:
@@ -176,22 +212,55 @@ def run_calling(args) -> int:
         components = collate(args)
     except AttributeError:
         components = None
-    reference = ReferenceGenome(IndexedFasta(args.reference))
-    manager = ReadManager(args.reads)
+    reference = ReferenceGenome(
+        IndexedFasta(args.reference),
+        max_cache_bytes=getattr(args, "max_reference_cache_memory", 256 << 20))
+    read_paths = list(args.reads or [])
+    for listing in getattr(args, "reads_file", None) or []:
+        with open(listing) as fh:
+            read_paths.extend(l.strip() for l in fh if l.strip())
+    manager = ReadManager(read_paths,
+                          max_open_files=getattr(args, "max_open_read_files", 250) or 250)
     bams = [manager._get(p) for p in manager.paths]
     samples = manager.samples()
+    if getattr(args, "samples", None):
+        wanted = set(args.samples)
+        missing = wanted - set(samples)
+        if missing:
+            print(f"octopus-tpu: samples not in read files: {sorted(missing)}",
+                  file=sys.stderr)
+            return 2
+        samples = [s for s in samples if s in wanted]
     if args.regions:
         regions = [parse_region(r, reference) for r in args.regions]
+    elif getattr(args, "regions_file", None):
+        with open(args.regions_file) as fh:
+            regions = [parse_region(l.strip(), reference) for l in fh if l.strip()]
     else:
         regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
-    pipe = ReadPipe(components.read_pipe) if components else ReadPipe()
+    skip = [parse_region(r, reference) for r in getattr(args, "skip_regions", None) or []]
+    if getattr(args, "skip_regions_file", None):
+        with open(args.skip_regions_file) as fh:
+            skip.extend(parse_region(l.strip(), reference) for l in fh if l.strip())
+    if skip:
+        regions = _subtract_regions(regions, skip)
+    if components:
+        components.read_pipe.reference = reference
+        pipe = ReadPipe(components.read_pipe)
+    else:
+        pipe = ReadPipe()
     if getattr(args, "disable_call_filtering", False):
         csr = None
-    elif components and components.filter_expression:
-        csr = ThresholdFilter(components.filter_expression)
+    elif components:
+        csr = ThresholdFilter(components.filter_expression,
+                              components.somatic_filter_expression,
+                              components.denovo_filter_expression,
+                              components.refcall_filter_expression)
     else:
         csr = ThresholdFilter()
-    header = make_vcf_header(reference, sorted({r[0] for r in regions}), samples)
+    annotations = tuple(components.annotations) if components else ()
+    header = make_vcf_header(reference, sorted({r[0] for r in regions}),
+                             [] if getattr(args, "sites_only", False) else samples)
     if csr is not None:
         for fid in csr.filter_ids():
             header.add_filter(fid, f"Threshold filter {fid}")
@@ -202,7 +271,10 @@ def run_calling(args) -> int:
     windows = propose_windows(reference, regions, bams)
     # checkpointed shard directory keyed by the output path
     out_path = args.output or "octopus-tpu-calls.vcf"
-    shard_dir = out_path + ".shards"
+    prefix = getattr(args, "temp_directory_prefix", None) or "octopus-temp"
+    shard_dir = (out_path + ".shards" if prefix == "octopus-temp"
+                 else os.path.join(os.path.dirname(out_path) or ".",
+                                   prefix + ".shards"))
     journal_path = os.path.join(shard_dir, "journal.json")
     os.makedirs(shard_dir, exist_ok=True)
     done: dict[str, str] = {}
@@ -237,7 +309,11 @@ def run_calling(args) -> int:
     def run_one(window):
         records = _call_window(window, reference, bams, samples, pipe, csr,
                                caller_cache, caller_kind, caller_config, args,
-                               refcall_mode)
+                               refcall_mode, annotations)
+        if getattr(args, "sites_only", False):
+            for r in records:
+                r.format_keys = []
+                r.sample_values = []
         shard_path = os.path.join(shard_dir, window.key + ".vcf")
         with VcfWriter(shard_path, header) as w:
             for r in records:
@@ -283,11 +359,16 @@ def run_calling(args) -> int:
                     done[w.key] = res["result"]["shard"]
     shard_paths = [done[w.key] for w in windows if w.key in done
                    and os.path.exists(done[w.key])]
-    merge_sorted(shard_paths, out_path, header, list(reference.contig_names()))
+    merge_sorted(shard_paths, out_path, header,
+                 _contig_order(reference, getattr(args, "contig_output_order",
+                                                  "REFERENCE_INDEX")))
+    if getattr(args, "data_profile", None):
+        _run_data_profile(args, reference, bams, regions, out_path)
     if args.output is None:
         sys.stdout.write(open(out_path).read())
         os.unlink(out_path)
-    shutil.rmtree(shard_dir, ignore_errors=True)
+    if not getattr(args, "keep_temporary_files", False):
+        shutil.rmtree(shard_dir, ignore_errors=True)
     print(f"octopus-tpu: completed {len(windows)} windows in {time.time() - t0:.1f}s",
           file=sys.stderr)
     if timers.enabled:
@@ -297,7 +378,7 @@ def run_calling(args) -> int:
 
 def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                  caller_kind, caller_config=None, cli_args=None,
-                 refcall_mode=None):
+                 refcall_mode=None, annotations=()):
     from .utils import timers
     pad = 200
     with timers.phase("bam_fetch"):
@@ -343,10 +424,16 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         record = site_call_to_record(call, window.contig, reference)
         if csr is not None:
             measures = compute_measures(call, merged)
-            failed = csr.classify(measures, somatic=bool(call.info.get("SOMATIC")))
+            failed = csr.classify(measures,
+                                  somatic=bool(call.info.get("SOMATIC")),
+                                  denovo=bool(call.info.get("DENOVO")))
             record.filters = failed if failed else ["PASS"]
             record.info["DP"] = measures["DP"]
             record.info["MQ"] = round(measures["MQ"], 1)
+            for name in annotations:
+                if name in measures and name not in record.info:
+                    v = measures[name]
+                    record.info[name] = round(v, 4) if isinstance(v, float) else v
             if "DP" not in record.format_keys:
                 record.format_keys.append("DP")
             for s, sv in enumerate(record.sample_values):
@@ -359,6 +446,36 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                                         samples, refcall_mode))
         records.sort(key=lambda r: r.pos)
     return records
+
+
+def _run_data_profile(args, reference, bams, regions, vcf_path) -> None:
+    """--data-profile: indel-error-rate CSV over the called regions
+    (reference run_data_profiler, octopus.cpp:1710-1730)."""
+    from .core.tools.indel_profiler import profile_indels
+    called: dict[str, set[int]] = {}
+    for rec in VcfReader(vcf_path):
+        if any(len(a) != len(rec.ref) for a in rec.alts):
+            called.setdefault(rec.chrom, set()).add(rec.pos - 1)
+    profiles = []
+    for contig, begin, end in regions:
+        batches = []
+        for bam in bams:
+            for batch in bam.fetch(contig, begin, end).values():
+                if len(batch):
+                    batches.append(batch)
+        if not batches:
+            continue
+        merged = ReadBatch.concatenate(batches)
+        profiles.append(profile_indels(reference, contig, merged, begin, end,
+                                       called.get(contig)))
+    if profiles:
+        total = profiles[0]
+        for p in profiles[1:]:
+            for k, (sp, er) in p.counts.items():
+                c = total.counts.setdefault(k, [0, 0])
+                c[0] += sp
+                c[1] += er
+        total.write_csv(args.data_profile)
 
 
 def _order_trio(batches, samples, cli_args):

@@ -191,3 +191,47 @@ def test_config_file_preset(tmp_path, small_genome):
     assert args.threads == 2
     assert run_calling(args) == 0
     assert len(VcfReader(str(out)).records()) == 1
+
+
+def test_new_flag_surface(tmp_path, small_genome):
+    """--skip-regions / --sites-only / --annotations / --contig-output-order."""
+    fa, seq = small_genome
+    het, hom = [500, 1500], [1000]
+    bam, alt_of = write_bam(tmp_path, seq, het, hom)
+    out = tmp_path / "calls.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1",
+        "-K", "chr1:900-1100",          # skip the hom site
+        "--sites-only",
+        "--annotations", "AF", "SB",
+        "--contig-output-order", "LEXICOGRAPHICAL_ASCENDING",
+        "--mask-low-quality-tails", "5",
+        "--min-read-length", "30",
+    ])
+    assert run_calling(args) == 0
+    records = VcfReader(str(out)).records()
+    got = {r.pos - 1: r for r in records}
+    assert set(got) == set(het)          # hom site skipped via -K
+    for r in records:
+        assert not r.sample_values       # sites-only
+        assert "AF" in r.info and "SB" in r.info
+
+
+def test_samples_restriction_and_reads_file(tmp_path, small_genome):
+    fa, seq = small_genome
+    bam, _ = write_bam(tmp_path, seq, [500], [])
+    listing = tmp_path / "bams.txt"
+    listing.write_text(str(bam) + "\n")
+    out = tmp_path / "calls.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-i", str(listing), "-o", str(out), "-T", "chr1",
+        "-S", "NA12878",
+    ])
+    assert run_calling(args) == 0
+    assert any(not l.startswith("#") for l in open(out))
+    # unknown sample errors cleanly
+    args2 = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1",
+        "-S", "NOPE",
+    ])
+    assert run_calling(args2) == 2
