@@ -1,2 +1,2 @@
-from .measures import compute_measures, MeasureContext
+from .measures import ALL_MEASURES, SiteContext, compute_measures
 from .threshold import ThresholdFilter, parse_filter_expression

@@ -1,0 +1,156 @@
+"""CSR facet framework: lazily-computed shared context per call block.
+
+Capability-equivalent to the reference's facet set built by FacetFactory
+(src/core/csr/facets/, facet_factory.hpp:28-79): Samples, OverlappingReads,
+ReadAssignments (per-haplotype support via HMM-scored assignment),
+ReferenceContext, RepeatContext, Alleles, Genotypes, Pedigree, Ploidies,
+ReadsSummary.  Measures receive one FacetBundle per call block; each facet
+is computed at most once however many measures consume it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from ...basics.reads import ReadBatch
+from ..types.haplotypes import Haplotype
+from ..types.variants import Variant
+
+
+@dataclass
+class FacetBlock:
+    """Inputs identifying one call block (usually one phase set)."""
+
+    contig: str
+    begin: int
+    end: int
+    variants: list            # Variant per called site
+    genotypes: list           # per sample: allele indices per site
+    reads_by_sample: list     # ReadBatch per sample
+    samples: list
+    reference: object
+    pedigree: object | None = None
+    ploidy: int = 2
+
+
+class FacetBundle:
+    """Lazy facet container (one per call block)."""
+
+    def __init__(self, block: FacetBlock, pad: int = 100):
+        self.block = block
+        self._pad = pad
+
+    # -- trivially derived facets -------------------------------------------
+
+    @cached_property
+    def samples(self) -> list:
+        return list(self.block.samples)
+
+    @cached_property
+    def ploidies(self) -> dict:
+        return {s: self.block.ploidy for s in self.block.samples}
+
+    @cached_property
+    def pedigree(self):
+        return self.block.pedigree
+
+    @cached_property
+    def alleles(self) -> list:
+        return list(self.block.variants)
+
+    @cached_property
+    def genotypes(self) -> list:
+        return list(self.block.genotypes)
+
+    # -- read facets ---------------------------------------------------------
+
+    @cached_property
+    def overlapping_reads(self) -> list:
+        """Per sample, reads overlapping the padded block."""
+        lo = max(self.block.begin - self._pad, 0)
+        hi = self.block.end + self._pad
+        return [b.overlapping(lo, hi) for b in self.block.reads_by_sample]
+
+    @cached_property
+    def reads_summary(self) -> list:
+        """Per sample: (depth, mean length, rms mapq)."""
+        out = []
+        for b in self.overlapping_reads:
+            if len(b) == 0:
+                out.append((0, 0.0, 0.0))
+                continue
+            out.append((len(b), float(b.lengths().mean()),
+                        float(np.sqrt(np.mean(b.mapq.astype(np.float64) ** 2)))))
+        return out
+
+    # -- reference facets ----------------------------------------------------
+
+    @cached_property
+    def reference_context(self) -> tuple[int, np.ndarray]:
+        lo = max(self.block.begin - self._pad, 0)
+        hi = min(self.block.end + self._pad,
+                 self.block.reference.contig_size(self.block.contig))
+        return lo, self.block.reference.fetch_codes(self.block.contig, lo, hi)
+
+    @cached_property
+    def repeat_context(self) -> list:
+        from ...utils.tandem import extract_exact_tandem_repeats
+        lo, codes = self.reference_context
+        reps = extract_exact_tandem_repeats(np.asarray(codes, np.uint8), 1, 6)
+        return [(lo + r.pos, r.length, r.period) for r in reps]
+
+    # -- HMM read assignment (the expensive facet) ---------------------------
+
+    @cached_property
+    def called_haplotypes(self) -> list[Haplotype]:
+        """Haplotypes implied by the called genotypes over the block."""
+        lo, codes = self.reference_context
+        hi = lo + len(codes)
+        fetch = lambda b, e: self.block.reference.fetch_codes(self.block.contig, b, e)
+        ploidy = self.block.ploidy
+        haps: list[Haplotype] = []
+        seen = set()
+        for sample_gts in self.block.genotypes:
+            for k in range(ploidy):
+                variants = []
+                for site, gt in zip(self.block.variants, sample_gts):
+                    allele = gt[k] if k < len(gt) else 0
+                    if allele > 0:
+                        variants.append(site)
+                key = tuple((v.begin, v.alt) for v in variants)
+                if key not in seen:
+                    seen.add(key)
+                    haps.append(Haplotype.build(lo, hi, variants, fetch))
+        if not haps:
+            haps.append(Haplotype.build(lo, hi, [], fetch))
+        return haps
+
+    @cached_property
+    def read_assignments(self) -> list:
+        """Per sample: Assignment of each read to a called haplotype
+        (the reference's ReadAssignments facet re-runs the HMM here too)."""
+        from ..tools.read_assigner import assign_reads
+        lo, _ = self.reference_context
+        all_haps = list(range(len(self.called_haplotypes)))
+        return [assign_reads(b, self.called_haplotypes, all_haps, lo)
+                if len(b) else None
+                for b in self.overlapping_reads]
+
+    def allele_support(self, variant: Variant) -> list:
+        """Per sample: reads assigned to alt-carrying haplotypes."""
+        alt_haps = [i for i, h in enumerate(self.called_haplotypes)
+                    if any(v.begin == variant.begin and v.alt == variant.alt
+                           for v in h.variants)]
+        out = []
+        for a in self.read_assignments:
+            if a is None:
+                out.append(0)
+            else:
+                out.append(int(np.isin(a.hap_of_read, alt_haps).sum()))
+        return out
+
+
+__all__ = ["FacetBlock", "FacetBundle"]

@@ -1,81 +1,83 @@
 """Call-set-refinement annotation measures.
 
 Capability-equivalent to the reference's CSR measure framework
-(src/core/csr/measures/, ~56 measures; measure.hpp:24-97).  This module
-implements the measures consumed by the default threshold filter expressions
-(option_parser.cpp:730-740): QUAL, DP, MQ, MQ0, AD, ADP, AF, AFB, SB, BQ,
-MP, GQ, FRF — computed from the pileup over the call site.  Facet-style
-read re-assignment (re-running the HMM for allele support) is the accuracy
-refinement path; the pileup approximations here use the same definitions on
-directly-observed support.
+(src/core/csr/measures/, 56 measures; measure.hpp:24-97), computed from the
+pileup over the call site plus call-level info.  Key names match the
+reference's VCF fields: AC AD ADP AF AFB AMQ ARF BMC BMF BMQ BQ CC CRF DAD
+DAF DC DENOVO DP DPC ER ERS FRF GC GQ GQD ITV MC MF MHL MP MPD MQ MQ0 MQD
+MRC MRL NC PLN PP PPD PPP QD QUAL REB REFCALL RSB RTB SB SD SF SHC SMQ
+SOMATIC STRL STRP VL.
+
+The reference computes several of these through read re-assignment facets
+(re-running the HMM for per-haplotype support); here the same definitions
+are evaluated on directly observed pileup support — the `facets` module
+provides the HMM-assignment refinement where callers need it.
 """
 
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 from scipy import stats as sps
 
-from ...basics.reads import ReadBatch
+from ...basics.reads import (
+    FLAG_DUPLICATE,
+    FLAG_SUPPLEMENTARY,
+    ReadBatch,
+)
 from ...basics import cigar as cg
+
+#: every measure key this module can emit (the reference's 56-measure set)
+ALL_MEASURES = (
+    "AC", "AD", "ADP", "AF", "AFB", "AMQ", "ARF", "BMC", "BMF", "BMQ", "BQ",
+    "CC", "CRF", "DAD", "DAF", "DC", "DENOVO", "DP", "DPC", "ER", "ERS",
+    "FRF", "GC", "GQ", "GQD", "ITV", "MC", "MF", "MHL", "MP", "MPD", "MQ",
+    "MQ0", "MQD", "MRC", "MRL", "NC", "PLN", "PP", "PPD", "PPP", "QD",
+    "QUAL", "REB", "REFCALL", "RSB", "RTB", "SB", "SD", "SF", "SHC", "SMQ",
+    "SOMATIC", "STRL", "STRP", "VL",
+)
+
+def _is_transversion(ref: int, alt: int) -> bool:
+    purine = {0, 2}   # A, G
+    return (ref in purine) != (alt in purine)
 
 
 @dataclass
-class MeasureContext:
-    """Per-call pileup support statistics."""
+class SiteContext:
+    """Per-call pileup support statistics (one pass over overlapping reads)."""
 
-    depth: int
-    alt_depth: int
-    assigned_depth: int
-    rms_mapping_quality: float
-    mq0_count: int
-    alt_base_qualities: list[int]
-    alt_forward: int
-    alt_reverse: int
-    fwd_depth: int
-    rev_depth: int
-    unmapped_fraction: float = 0.0
-
-
-def _site_support(batch: ReadBatch, begin: int, end: int, alt_codes: np.ndarray,
-                  is_insertion: bool, is_deletion: bool) -> MeasureContext:
-    over = batch.overlapping(begin, max(end, begin + 1))
-    n = len(over)
-    if n == 0:
-        return MeasureContext(0, 0, 0, 0.0, 0, [], 0, 0, 0, 0)
-    is_rev = over.is_reverse()
-    alt_mask = np.zeros(n, bool)
-    alt_bqs: list[int] = []
-    for i in range(n):
-        sup, bq = _read_supports(over, i, begin, end, alt_codes,
-                                 is_insertion, is_deletion)
-        alt_mask[i] = sup
-        if sup and bq is not None:
-            alt_bqs.append(bq)
-    mq = over.mapq.astype(np.float64)
-    return MeasureContext(
-        depth=n,
-        alt_depth=int(alt_mask.sum()),
-        assigned_depth=n,
-        rms_mapping_quality=float(np.sqrt(np.mean(mq ** 2))),
-        mq0_count=int((over.mapq == 0).sum()),
-        alt_base_qualities=alt_bqs,
-        alt_forward=int((alt_mask & ~is_rev).sum()),
-        alt_reverse=int((alt_mask & is_rev).sum()),
-        fwd_depth=int((~is_rev).sum()),
-        rev_depth=int(is_rev.sum()),
-    )
+    depth: int = 0
+    alt_depth: int = 0
+    assigned_depth: int = 0
+    ambiguous: int = 0
+    rms_mapping_quality: float = 0.0
+    mq0_count: int = 0
+    alt_base_qualities: list = field(default_factory=list)
+    alt_mapping_qualities: list = field(default_factory=list)
+    all_mapping_qualities: list = field(default_factory=list)
+    alt_forward: int = 0
+    alt_reverse: int = 0
+    fwd_depth: int = 0
+    rev_depth: int = 0
+    clipped: int = 0
+    supplementary: int = 0
+    duplicates: int = 0
+    dup_alt: int = 0
+    mismatch_counts: list = field(default_factory=list)    # per read vs ref
+    alt_mismatch_counts: list = field(default_factory=list)
+    read_lengths: list = field(default_factory=list)
+    alt_offsets: list = field(default_factory=list)        # allele pos in read
+    misaligned: int = 0
 
 
 def _read_supports(batch: ReadBatch, i: int, begin: int, end: int,
                    alt_codes: np.ndarray, is_ins: bool, is_del: bool):
-    """Does read i support the alt at the site? Returns (bool, base_quality)."""
+    """Does read i support the alt? Returns (bool, base_quality, read_offset)."""
     seq = batch.sequence(i)
     quals = batch.qualities(i)
     pos = int(batch.begins[i])
-    r = 0
     q = 0
     for length, op in batch.cigar(i):
         length = int(length)
@@ -85,49 +87,166 @@ def _read_supports(batch: ReadBatch, i: int, begin: int, end: int,
             elif not is_del and pos <= begin and begin + len(alt_codes) <= pos + length:
                 off = q + (begin - pos)
                 if np.array_equal(seq[off:off + len(alt_codes)], alt_codes):
-                    return True, int(quals[off:off + len(alt_codes)].min())
-                return False, None
+                    return True, int(quals[off:off + len(alt_codes)].min()), off
+                return False, None, None
             pos += length
             q += length
         elif op == cg.I:
             if is_ins and pos == begin and length == len(alt_codes):
                 if np.array_equal(seq[q:q + length], alt_codes):
-                    return True, int(quals[q:q + length].min())
+                    return True, int(quals[q:q + length].min()), q
             q += length
         elif op == cg.D:
             if is_del and pos == begin and pos + length == end:
-                return True, None
+                return True, None, q
             pos += length
         elif op == cg.S:
             q += length
         elif op in (cg.NSKIP, cg.P):
             pos += length
-    return False, None
+    return False, None, None
 
 
-def compute_measures(call, batch: ReadBatch, expected_af: float | None = None) -> dict:
-    """Measure dict for one SiteCall against the sample's reads."""
+def _read_mismatches(batch: ReadBatch, i: int, ref_codes, ref_begin: int) -> int:
+    """Aligned-base mismatches of read i against the reference slice."""
+    if ref_codes is None:
+        return 0
+    seq = batch.sequence(i)
+    pos = int(batch.begins[i])
+    q = 0
+    mism = 0
+    for length, op in batch.cigar(i):
+        length = int(length)
+        if op in (cg.M, cg.EQ, cg.X):
+            lo = pos - ref_begin
+            r = ref_codes[max(lo, 0):lo + length]
+            s = seq[q + max(-lo, 0):q + max(-lo, 0) + len(r)]
+            n = min(len(r), len(s))
+            if n > 0:
+                mism += int((r[:n] != s[:n]).sum())
+            pos += length
+            q += length
+        elif op == cg.I:
+            mism += length
+            q += length
+        elif op == cg.D:
+            mism += length
+            pos += length
+        elif op == cg.S:
+            q += length
+        elif op in (cg.NSKIP, cg.P):
+            pos += length
+    return mism
+
+
+def site_context(batch: ReadBatch, begin: int, end: int, alt_codes: np.ndarray,
+                 is_insertion: bool, is_deletion: bool,
+                 ref_codes=None, ref_begin: int = 0) -> SiteContext:
+    over = batch.overlapping(begin, max(end, begin + 1))
+    ctx = SiteContext()
+    n = len(over)
+    if n == 0:
+        return ctx
+    is_rev = over.is_reverse()
+    mq = over.mapq.astype(np.float64)
+    ctx.depth = n
+    ctx.assigned_depth = n
+    ctx.rms_mapping_quality = float(np.sqrt(np.mean(mq ** 2)))
+    ctx.mq0_count = int((over.mapq == 0).sum())
+    ctx.fwd_depth = int((~is_rev).sum())
+    ctx.rev_depth = int(is_rev.sum())
+    ctx.all_mapping_qualities = mq.tolist()
+    flags = over.flags
+    ctx.supplementary = int(((flags & FLAG_SUPPLEMENTARY) != 0).sum())
+    ctx.duplicates = int(((flags & FLAG_DUPLICATE) != 0).sum())
+    lens = over.lengths()
+    ctx.read_lengths = lens.tolist()
+    for i in range(n):
+        sup, bq, off = _read_supports(over, i, begin, end, alt_codes,
+                                      is_insertion, is_deletion)
+        mism = _read_mismatches(over, i, ref_codes, ref_begin)
+        ctx.mismatch_counts.append(mism)
+        if mism >= 6:
+            ctx.misaligned += 1
+        cigar = over.cigar(i)
+        if len(cigar) and (cigar[:, 1] == cg.S).any():
+            ctx.clipped += 1
+        if sup:
+            ctx.alt_depth += 1
+            ctx.alt_mapping_qualities.append(float(over.mapq[i]))
+            ctx.alt_mismatch_counts.append(mism)
+            if bq is not None:
+                ctx.alt_base_qualities.append(bq)
+            if off is not None and lens[i] > 0:
+                ctx.alt_offsets.append((int(off), int(lens[i])))
+            if is_rev[i]:
+                ctx.alt_reverse += 1
+            else:
+                ctx.alt_forward += 1
+            if flags[i] & FLAG_DUPLICATE:
+                ctx.dup_alt += 1
+    return ctx
+
+
+def _tail_bias(offsets: list, tail_frac: float = 0.03) -> float:
+    """Fraction of alt observations falling in the 3' read tail."""
+    if not offsets:
+        return 0.0
+    in_tail = sum(1 for off, L in offsets if off >= L * (1.0 - tail_frac) - 1)
+    return in_tail / len(offsets)
+
+
+def _end_bias(offsets: list, end_frac: float = 0.1) -> float:
+    if not offsets:
+        return 0.0
+    near = sum(1 for off, L in offsets
+               if off < L * end_frac or off >= L * (1.0 - end_frac) - 1)
+    return near / len(offsets)
+
+
+def _side_bias(offsets: list) -> float:
+    """Binomial-style left/right imbalance of the allele position in reads."""
+    if not offsets:
+        return 0.5
+    left = sum(1 for off, L in offsets if off < L / 2)
+    return left / len(offsets)
+
+
+def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
+                     ref_codes=None, ref_begin: int = 0,
+                     pipe_report=None, normal_batch: ReadBatch | None = None,
+                     phase_length: int | None = None) -> dict:
+    """The full measure dict for one SiteCall against the sample's reads."""
     v = call.alts[0]
-    ctx = _site_support(batch, v.begin, v.end, v.alt_codes,
-                        v.is_insertion(), v.is_deletion())
+    ctx = site_context(batch, v.begin, v.end, v.alt_codes,
+                       v.is_insertion(), v.is_deletion(),
+                       ref_codes, ref_begin)
     out: dict = {}
+    gt = call.genotypes[0] if call.genotypes else []
+    depth = ctx.depth
     out["QUAL"] = call.quality
-    out["GQ"] = call.genotype_qualities[0]
-    out["DP"] = ctx.depth
+    out["GQ"] = call.genotype_qualities[0] if call.genotype_qualities else 0.0
+    out["DP"] = depth
     out["ADP"] = ctx.assigned_depth
     out["AD"] = ctx.alt_depth
     out["AF"] = ctx.alt_depth / ctx.assigned_depth if ctx.assigned_depth else 0.0
+    out["AC"] = sum(1 for a in gt if a > 0)
     out["MQ"] = ctx.rms_mapping_quality
     out["MQ0"] = ctx.mq0_count
+    out["AMQ"] = (float(np.sqrt(np.mean(np.square(ctx.alt_mapping_qualities))))
+                  if ctx.alt_mapping_qualities else 0.0)
+    out["SMQ"] = (float(np.median(ctx.alt_mapping_qualities))
+                  if ctx.alt_mapping_qualities else 0.0)
+    out["MQD"] = abs(out["AMQ"] - out["MQ"])
     out["BQ"] = float(np.median(ctx.alt_base_qualities)) if ctx.alt_base_qualities else 0.0
     out["MP"] = call.info.get("MP", call.quality)
-    # expected allele-frequency bias: |observed - expected under called GT|
-    gt = call.genotypes[0]
+    out["MPD"] = out["MP"] / depth if depth else 0.0
+    out["QD"] = call.quality / depth if depth else 0.0
+    out["GQD"] = out["GQ"] / depth if depth else 0.0
     if expected_af is None:
         n_alt = sum(1 for a in gt if a > 0)
         expected_af = n_alt / len(gt) if gt else 0.5
     out["AFB"] = abs(out["AF"] - expected_af)
-    # strand bias: Fisher on alt fwd/rev vs depth fwd/rev
     table = [[ctx.alt_forward, max(ctx.fwd_depth - ctx.alt_forward, 0)],
              [ctx.alt_reverse, max(ctx.rev_depth - ctx.alt_reverse, 0)]]
     try:
@@ -135,8 +254,86 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None) -
         out["SB"] = 1.0 - p
     except ValueError:
         out["SB"] = 0.0
-    out["FRF"] = 0.0   # failed-read fraction: populated by the read pipe report
-    return out
+    # strand disequilibrium of the whole pileup (binomial two-sided)
+    if depth:
+        out["SD"] = 1.0 - sps.binomtest(ctx.fwd_depth, depth, 0.5).pvalue
+    else:
+        out["SD"] = 0.0
+    out["FRF"] = (1.0 - pipe_report.n_downsampled / pipe_report.n_raw
+                  if pipe_report and pipe_report.n_raw else 0.0)
+    out["CRF"] = ctx.clipped / depth if depth else 0.0
+    out["SF"] = ctx.supplementary / depth if depth else 0.0
+    out["DAD"] = ctx.dup_alt
+    out["DAF"] = ctx.dup_alt / max(ctx.alt_depth, 1)
+    out["DPC"] = 1.0 - out["DAF"]
+    out["ARF"] = ctx.ambiguous / depth if depth else 0.0
+    # base mismatch stats of alt-supporting reads (BMC/BMF/BMQ families)
+    out["BMC"] = int(np.sum(ctx.alt_mismatch_counts)) if ctx.alt_mismatch_counts else 0
+    total_alt_bases = sum(L for _, L in ctx.alt_offsets) or 1
+    out["BMF"] = out["BMC"] / total_alt_bases
+    out["BMQ"] = out["BQ"]
+    out["MC"] = int(np.sum(ctx.mismatch_counts)) if ctx.mismatch_counts else 0
+    total_bases = int(np.sum(ctx.read_lengths)) or 1
+    out["MF"] = out["MC"] / total_bases
+    rates = ([m / max(L, 1) for m, L in zip(ctx.mismatch_counts, ctx.read_lengths)]
+             if ctx.mismatch_counts else [])
+    out["ER"] = float(np.mean(rates)) if rates else 0.0
+    out["ERS"] = float(np.std(rates)) if rates else 0.0
+    out["MRC"] = ctx.misaligned
+    out["MRL"] = int(max(ctx.read_lengths)) if ctx.read_lengths else 0
+    out["VL"] = max(len(v.alt_codes), v.end - v.begin)
+    out["ITV"] = int(v.is_snv() and _is_transversion(int(v.ref_codes[0]),
+                                                     int(v.alt_codes[0])))
+    # read-position biases of the allele
+    out["RTB"] = _tail_bias(ctx.alt_offsets)
+    out["REB"] = _end_bias(ctx.alt_offsets)
+    out["RSB"] = _side_bias(ctx.alt_offsets)
+    # reference context measures
+    if ref_codes is not None and len(ref_codes):
+        lo = max(v.begin - ref_begin - 50, 0)
+        hi = min(v.begin - ref_begin + 51, len(ref_codes))
+        window = ref_codes[lo:hi]
+        out["GC"] = float(np.isin(window, (1, 2)).mean()) if len(window) else 0.0
+        strl, strp = _str_context(ref_codes, ref_begin, v.begin)
+        out["STRL"] = strl
+        out["STRP"] = strp
+    out["DENOVO"] = int(bool(call.info.get("DENOVO")))
+    out["SOMATIC"] = int(bool(call.info.get("SOMATIC")))
+    out["REFCALL"] = int(not call.alts or not len(v.alt_codes))
+    out["PP"] = call.info.get("PP", call.quality)
+    out["PPD"] = out["PP"] / depth if depth else 0.0
+    out["PPP"] = call.info.get("PPP")
+    out["SHC"] = call.info.get("SHC", int(bool(call.info.get("SOMATIC"))))
+    out["MHL"] = call.info.get("MHL")
+    out["CC"] = call.info.get("CC")
+    out["PLN"] = phase_length if phase_length is not None else call.info.get("PLN", 0)
+    # contamination measures
+    if normal_batch is not None and len(normal_batch):
+        nctx = site_context(normal_batch, v.begin, v.end, v.alt_codes,
+                            v.is_insertion(), v.is_deletion())
+        out["NC"] = nctx.alt_depth
+    else:
+        out["NC"] = 0
+    out["DC"] = call.info.get("DC", 0)
+    return {k: val for k, val in out.items() if val is not None}
 
 
-__all__ = ["compute_measures", "MeasureContext"]
+def _str_context(ref_codes, ref_begin: int, pos: int,
+                 max_period: int = 6, window: int = 50):
+    """(tract length, period) of the tandem repeat at the site, 0/0 if none."""
+    from ...utils.tandem import extract_exact_tandem_repeats
+    lo = max(pos - ref_begin - window, 0)
+    hi = min(pos - ref_begin + window, len(ref_codes))
+    seg = ref_codes[lo:hi]
+    if not len(seg):
+        return 0, 0
+    best_len, best_period = 0, 0
+    for r in extract_exact_tandem_repeats(np.asarray(seg, np.uint8), 1, max_period):
+        tract_begin = ref_begin + lo + r.pos
+        tract_end = tract_begin + r.length
+        if tract_begin - 1 <= pos <= tract_end + 1 and r.length > best_len:
+            best_len, best_period = r.length, r.period
+    return best_len, best_period
+
+
+__all__ = ["compute_measures", "site_context", "SiteContext", "ALL_MEASURES"]

@@ -391,16 +391,21 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                     per_sample.setdefault(s, []).append(batch)
     batches_by_sample = []
     any_reads = False
+    total_raw = total_kept = 0
     for s in samples:
         if per_sample.get(s):
             b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
-            b, _ = pipe.process(b)
+            b, rep = pipe.process(b)
+            total_raw += rep.n_raw
+            total_kept += rep.n_downsampled
             any_reads = any_reads or len(b) > 0
         else:
             b = ReadBatch.empty(window.contig)
         batches_by_sample.append(b)
     if not any_reads:
         return []
+    from .readpipe.pipe import ReadPipeReport
+    window_report = ReadPipeReport(n_raw=total_raw, n_downsampled=total_kept)
     caller = caller_cache.get(window.contig)
     if caller is None:
         caller = _make_caller(caller_kind, reference, window.contig, samples,
@@ -423,7 +428,13 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             continue
         record = site_call_to_record(call, window.contig, reference)
         if csr is not None:
-            measures = compute_measures(call, merged)
+            ref_lo = max(int(call.begin) - 120, 0)
+            ref_hi = min(int(call.end) + 120,
+                         reference.contig_size(window.contig))
+            measures = compute_measures(
+                call, merged,
+                ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
+                ref_begin=ref_lo, pipe_report=window_report)
             failed = csr.classify(measures,
                                   somatic=bool(call.info.get("SOMATIC")),
                                   denovo=bool(call.info.get("DENOVO")))

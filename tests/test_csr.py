@@ -65,3 +65,81 @@ class TestMeasures:
         batch = make_read_batch("chr1", reads)
         m = compute_measures(self._call(), batch)
         assert m["SB"] > 0.98
+
+
+class TestFullMeasureSet:
+    def _scene(self):
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 4, 200).astype(np.uint8)
+        alt_base = (ref[100] + 2) % 4
+        reads = []
+        for i in range(20):
+            start = 60 + (i % 30)
+            codes = ref[start:start + 80].copy()
+            if i % 2 == 0:
+                codes[100 - start] = alt_base
+            seq = "".join("ACGT"[c] for c in codes)
+            flags = FLAG_REVERSE if i % 3 == 0 else 0
+            reads.append((start, "80M", seq, [35] * 80, 50, flags))
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(100, ref[100:101], np.asarray([alt_base], np.uint8))
+        call = SiteCall(begin=100, end=101, alts=[v], quality=300.0,
+                        genotypes=[[0, 1]], genotype_qualities=[90.0],
+                        phase_set=0, alt_qualities=[300.0])
+        return call, batch, ref
+
+    def test_all_measures_present(self):
+        from octopus_tpu.core.csr.measures import ALL_MEASURES
+        call, batch, ref = self._scene()
+        m = compute_measures(call, batch, ref_codes=ref, ref_begin=0)
+        missing = [k for k in ALL_MEASURES
+                   if k not in m and k not in ("PPP", "MHL", "CC")]
+        assert not missing, missing
+        assert m["DP"] == 20
+        assert m["AD"] == 10
+        assert abs(m["AF"] - 0.5) < 1e-9
+        assert m["ITV"] in (0, 1)
+        assert m["VL"] == 1
+        assert 0.0 <= m["GC"] <= 1.0
+        assert m["QD"] == pytest.approx(300.0 / 20)
+        assert m["MRL"] == 80
+        assert m["ER"] == pytest.approx(10 / 20 / 80)
+
+    def test_str_context(self):
+        from octopus_tpu.core.csr.measures import _str_context
+        codes = np.asarray([0, 1] * 3 + [0, 1, 2, 3] * 10 + [2, 2, 2, 2, 2, 2],
+                           np.uint8)
+        # site inside the homopolymer run at the end
+        L, P = _str_context(codes, 0, len(codes) - 3)
+        assert P == 1 and L >= 5
+
+
+class TestFacets:
+    def test_bundle_lazy_and_assignment(self):
+        from octopus_tpu.core.csr.facets import FacetBlock, FacetBundle
+        from octopus_tpu.io.fasta import InMemoryReference, ReferenceGenome
+        rng = np.random.default_rng(5)
+        ref = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+        reference = ReferenceGenome(InMemoryReference({"chr1": ref}))
+        ref_codes = encode_sequence(ref)
+        alt_base = (ref_codes[200] + 1) % 4
+        reads = []
+        for i in range(30):
+            start = 150 + (i % 40)
+            codes = ref_codes[start:start + 90].copy()
+            if i % 2 == 0 and start <= 200 < start + 90:
+                codes[200 - start] = alt_base
+            seq = "".join("ACGT"[c] for c in codes)
+            reads.append((start, "90M", seq, [35] * 90, 50, 0))
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(200, ref_codes[200:201], np.asarray([alt_base], np.uint8))
+        block = FacetBlock(contig="chr1", begin=195, end=205, variants=[v],
+                           genotypes=[[[0, 1]]], reads_by_sample=[batch],
+                           samples=["S1"], reference=reference)
+        bundle = FacetBundle(block)
+        assert bundle.samples == ["S1"]
+        assert len(bundle.called_haplotypes) == 2
+        support = bundle.allele_support(v)
+        assert support[0] > 5      # alt-carrying reads assigned to alt hap
+        lo, codes = bundle.reference_context
+        assert len(codes) > 0
