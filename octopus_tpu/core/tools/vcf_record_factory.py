@@ -3,8 +3,9 @@
 Capability-equivalent to the reference's VcfRecordFactory
 (src/core/tools/vcf_record_factory.cpp): allele normalisation to a common
 site region, indel anchor bases, phased GT with PS phase sets, QUAL/GQ
-emission.  Spanning-allele (*) handling and refcall blocks are planned
-refinements.
+emission, and `*` spanning-allele semantics for sites inside an upstream
+deletion (vcf_record_factory.cpp `*`-allele logic; VCFv4.3 section 1.6.1,
+website/docs/guides/advanced/vcf.md).
 """
 
 from __future__ import annotations
@@ -80,9 +81,44 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
     )
 
 
-def _np(b: bytes):
-    import numpy as np
-    return np.frombuffer(b, dtype=np.uint8)
+def apply_spanning_alleles(pairs: list) -> None:
+    """Rewrite downstream records inside called deletions with `*` alleles.
+
+    pairs: position-ordered [(SiteCall, VcfRecord), ...] of one window.  For
+    every haplotype slot carrying an upstream deletion that covers a later
+    site (same phase set, so slot order is consistent), the later record
+    gains a `*` alt and that slot's GT digit points at it
+    (vcf_record_factory.cpp spanning-allele logic).
+    """
+    for i, (up_call, _up_rec) in enumerate(pairs):
+        # deletion intervals per (sample, slot)
+        del_spans = {}
+        for s, gt in enumerate(up_call.genotypes):
+            for k, allele in enumerate(gt):
+                if allele > 0 and allele - 1 < len(up_call.alts):
+                    v = up_call.alts[allele - 1]
+                    if v.end - v.begin > len(v.alt_codes):   # net deletion
+                        del_spans[(s, k)] = (v.begin, v.end)
+        if not del_spans:
+            continue
+        for call, rec in (p for p in pairs[i + 1:]):
+            if call.phase_set != up_call.phase_set:
+                continue
+            starred = []
+            for (s, k), (db, de) in del_spans.items():
+                if db < call.begin < de and s < len(call.genotypes) \
+                        and k < len(call.genotypes[s]):
+                    starred.append((s, k))
+            if not starred:
+                continue
+            if "*" not in rec.alts:
+                rec.alts.append("*")
+            star_idx = rec.alts.index("*") + 1
+            for s, k in starred:
+                digits = rec.sample_values[s]["GT"].split("|")
+                if k < len(digits):
+                    digits[k] = str(star_idx)
+                    rec.sample_values[s]["GT"] = "|".join(digits)
 
 
-__all__ = ["make_vcf_header", "site_call_to_record"]
+__all__ = ["make_vcf_header", "site_call_to_record", "apply_spanning_alleles"]

@@ -27,7 +27,9 @@ from .core.callers.individual import CallerConfig, IndividualCaller
 from .core.csr.measures import compute_measures
 from .core.csr.threshold import ThresholdFilter
 from .core.tools.refcall import RefcallConfig, make_refcall_blocks
-from .core.tools.vcf_record_factory import make_vcf_header, site_call_to_record
+from .core.tools.vcf_record_factory import (apply_spanning_alleles,
+                                            make_vcf_header,
+                                            site_call_to_record)
 from .io.bam import BamFile
 from .io.read_manager import ReadManager
 from .io.fasta import IndexedFasta, ReferenceGenome
@@ -423,10 +425,12 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         calls = caller.call(window.begin, window.end, batches_by_sample)
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
     records = []
+    pairs = []
     for call in calls:
         if not (window.begin <= call.begin < window.end):
             continue
         record = site_call_to_record(call, window.contig, reference)
+        pairs.append((call, record))
         if csr is not None:
             ref_lo = max(int(call.begin) - 120, 0)
             ref_hi = min(int(call.end) + 120,
@@ -452,6 +456,7 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
         for k, v in call.info.items():
             record.info.setdefault(k, v)
         records.append(record)
+    apply_spanning_alleles(pairs)
     if refcall_mode:
         records.extend(_refcall_records(window, reference, merged, calls,
                                         samples, refcall_mode))
