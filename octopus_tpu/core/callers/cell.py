@@ -2,13 +2,12 @@
 
 Capability-equivalent to the reference's CellCaller + SingleCellModel
 (src/core/callers/cell_caller.cpp, single_cell_model.hpp:27-142,
-phylogeny.hpp): enumerates small clone phylogenies (founder germline
-genotype, optionally extended by somatic-haplotype child clones), infers
-per-cell clone assignments with an EM mixture, and compares phylogeny
-posteriors; somatic calls carry the clone structure.
-
-Phylogeny enumeration here covers sizes 1-2 (founder / founder+child);
-deeper trees follow the same structure scoring and are the scale-out path.
+phylogeny.hpp): enumerates clone phylogenies up to --max-phylogeny-size
+(founder germline genotype; each descendant clone adds one somatic
+haplotype to its ancestor's genotype), scores each with the two-level VB
+mixture (cells x clones, reads x clone haplotypes), and compares phylogeny
+posteriors.  Somatic calls carry clone counts and the phylogeny posterior
+(PPP).
 """
 
 from __future__ import annotations
@@ -22,7 +21,9 @@ from ..hapgen.generator import group_exclusive_sites
 from ..models.denovo import DeNovoModel, DeNovoParams
 from ..models.genotype_likelihoods import genotype_log_likelihoods_np
 from ..models.individual import logsumexp
+from ..models.mixture_mixture_vb import VariationalBayesMixtureMixtureModel
 from ..types.genotypes import generate_all_genotypes
+from ..types.phylogeny import enumerate_tree_shapes
 from .base import (
     ActiveRegionContext,
     BaseCallerConfig,
@@ -34,12 +35,24 @@ from .base import (
 
 @dataclass
 class CellCallerConfig(BaseCallerConfig):
-    max_phylogeny_size: int = 2
+    max_phylogeny_size: int = 3
     somatic_snv_prior: float = 1e-4
     somatic_indel_prior: float = 1e-5
-    max_founders: int = 10
-    em_iterations: int = 30
+    max_founders: int = 5
+    max_somatic_candidates: int = 4
+    dropout_concentration: float = 5.0      # --dropout-concentration
+    phylogeny_concentration: float = 20.0   # --phylogeny-concentration
     clone_prior_penalty: float = math.log(1e-3)   # per extra clone
+
+
+@dataclass
+class _Structure:
+    founder_gi: int
+    parents: list            # parent index per clone (None for founder)
+    somatic: list            # somatic haplotype per non-founder clone
+    members: list            # per clone: haplotype indices
+    score: float = -np.inf
+    assignments: np.ndarray | None = None
 
 
 class CellCaller(CallerBase):
@@ -54,49 +67,74 @@ class CellCaller(CallerBase):
         pooled = log_priors + cell_liks.sum(axis=0)
         top_g = np.argsort(pooled)[::-1][:cfg.max_founders]
         denovo = DeNovoModel(DeNovoParams(cfg.somatic_snv_prior, cfg.somatic_indel_prior))
+        mm = VariationalBayesMixtureMixtureModel(
+            alpha0=cfg.dropout_concentration,
+            beta0=cfg.phylogeny_concentration,
+            n_seeds=min(cfg.max_vb_seeds, 4))
 
-        structures = []      # (founder_gi, somatic_h | None, score, cell_assignments)
+        structures: list[_Structure] = []
         for gi in top_g:
             g = genotypes[gi]
-            # size-1 phylogeny: all cells are the founder clone
-            score1 = log_priors[gi] + cell_liks[:, gi].sum()
-            structures.append((int(gi), None, score1, np.zeros(n_cells, int)))
-            if cfg.max_phylogeny_size < 2:
+            # size-1 phylogeny: every cell is the founder clone
+            s1 = _Structure(int(gi), [None], [], [list(g)])
+            s1.score = log_priors[gi] + cell_liks[:, gi].sum()
+            s1.assignments = np.zeros(n_cells, int)
+            structures.append(s1)
+            if cfg.max_phylogeny_size < 2 or H <= len(set(g)):
                 continue
-            for h in range(H):
-                if h in g:
+            # somatic haplotype candidates ranked by marginal read support
+            cand = [h for h in range(H) if h not in g]
+            support = {h: sum(float(np.sum(ctx.lnL[c][h])) for c in range(n_cells))
+                       for h in cand}
+            cand.sort(key=lambda h: -support[h])
+            cand = cand[:cfg.max_somatic_candidates]
+            for size in range(2, cfg.max_phylogeny_size + 1):
+                if len(cand) < size - 1:
                     continue
-                lp_som = max(denovo.ln_probability(h, int(x), ctx.haplotypes)
-                             for x in g)
-                child = np.sort(np.concatenate([g, [h]]))
-                child_lik = np.stack([
-                    genotype_log_likelihoods_np(ctx.lnL[c], child[None, :])[0]
-                    for c in range(n_cells)])
-                score, assign = self._em_two_clone(cell_liks[:, gi], child_lik,
-                                                   cfg.em_iterations)
-                score += log_priors[gi] + lp_som + cfg.clone_prior_penalty
-                structures.append((int(gi), h, score, assign))
-        scores = np.asarray([s[2] for s in structures])
+                for parents in enumerate_tree_shapes(size):
+                    for assign in _permutations(cand, size - 1):
+                        members = [list(g)]
+                        lp_som = 0.0
+                        for node in range(1, size):
+                            parent_members = members[parents[node]]
+                            h = assign[node - 1]
+                            lp_som += max(
+                                denovo.ln_probability(h, int(x), ctx.haplotypes)
+                                for x in parent_members)
+                            members.append(parent_members + [h])
+                        inf = mm.evaluate([ctx.lnL[c] for c in range(n_cells)],
+                                          members)
+                        st = _Structure(int(gi), parents, list(assign), members)
+                        st.score = (inf.log_evidence + log_priors[gi] + lp_som
+                                    + cfg.clone_prior_penalty * (size - 1))
+                        st.assignments = inf.map_assignments
+                        structures.append(st)
+        scores = np.asarray([s.score for s in structures])
         log_post = scores - logsumexp(scores)
         best = structures[int(np.argmax(log_post))]
-        founder_gi, somatic_h, _, assign = best
-        founder = genotypes[founder_gi]
+        founder = genotypes[best.founder_gi]
+        somatic_set = set(best.somatic)
+        ppp = phred_not(np.asarray([log_post[i] for i, s in enumerate(structures)
+                                    if s is not best]))
 
         called = []
         info_of = {}
         for vi, v in enumerate(ctx.variants):
             has_v = ctx.contains[vi]
-            # posterior over structures where the variant is present anywhere
             present = np.asarray([
-                has_v[genotypes[s[0]]].any() or (s[1] is not None and has_v[s[1]])
+                has_v[genotypes[s.founder_gi]].any()
+                or any(has_v[h] for h in s.somatic)
                 for s in structures])
             phred = phred_not(log_post[~present])
-            in_best = has_v[founder].any() or (somatic_h is not None and has_v[somatic_h])
+            in_best = has_v[founder].any() or any(has_v[h] for h in somatic_set)
             if phred >= self.config.min_variant_posterior_phred and in_best:
                 called.append((v, phred))
-                if not has_v[founder].any() and somatic_h is not None and has_v[somatic_h]:
-                    info_of[v] = {"SOMATIC": True,
-                                  "CELLS": int(assign.sum())}
+                if not has_v[founder].any():
+                    som_clones = [ci for ci, ms in enumerate(best.members)
+                                  if any(has_v[h] for h in ms)]
+                    n_som_cells = int(np.isin(best.assignments, som_clones).sum())
+                    info_of[v] = {"SOMATIC": True, "CELLS": n_som_cells,
+                                  "PPP": round(float(ppp), 2)}
         if not called:
             return []
         site_groups = group_exclusive_sites([v for v, _ in called])
@@ -107,10 +145,8 @@ class CellCaller(CallerBase):
             hap_allele = site_alleles[si]
             gts = []
             for c in range(len(ctx.lnL)):
-                if somatic_h is not None and assign[c] == 1:
-                    members = list(founder) + [somatic_h]
-                else:
-                    members = list(founder)
+                clone = int(best.assignments[c]) if best.assignments is not None else 0
+                members = best.members[min(clone, len(best.members) - 1)]
                 gts.append([int(hap_allele[h]) for h in members])
             info = {}
             for v in group:
@@ -128,26 +164,10 @@ class CellCaller(CallerBase):
             ))
         return out
 
-    @staticmethod
-    def _em_two_clone(founder_lik: np.ndarray, child_lik: np.ndarray,
-                      iterations: int) -> tuple[float, np.ndarray]:
-        """EM over per-cell clone assignment; returns (evidence, MAP assign)."""
-        n = len(founder_lik)
-        pi = 0.5
-        for _ in range(iterations):
-            a = np.log(max(pi, 1e-12)) + child_lik
-            b = np.log(max(1 - pi, 1e-12)) + founder_lik
-            m = np.maximum(a, b)
-            r = np.exp(a - m) / (np.exp(a - m) + np.exp(b - m))
-            new_pi = float(r.mean())
-            if abs(new_pi - pi) < 1e-6:
-                pi = new_pi
-                break
-            pi = new_pi
-        a = np.log(max(pi, 1e-12)) + child_lik
-        b = np.log(max(1 - pi, 1e-12)) + founder_lik
-        per_cell = np.logaddexp(a, b)
-        return float(per_cell.sum()), (a > b).astype(int)
+
+def _permutations(items, k):
+    import itertools
+    return itertools.permutations(items, k)
 
 
 __all__ = ["CellCaller", "CellCallerConfig"]

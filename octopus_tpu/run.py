@@ -179,27 +179,62 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
         fields.update(extra)
         return cls(**fields)
 
+    def arg(name, default=None):
+        return getattr(cli_args, name, default) if cli_args is not None else default
+
     if kind in ("auto", "population") and len(samples) > 1:
         from .core.callers.population import PopulationCaller, PopulationCallerConfig
+        extra = {}
+        if arg("max_genotype_combinations"):
+            extra["max_genotype_combinations"] = arg("max_genotype_combinations")
         return PopulationCaller(reference, contig,
-                                specialise(PopulationCallerConfig))
+                                specialise(PopulationCallerConfig, **extra))
     if kind == "trio":
         from .core.callers.trio import TrioCaller, TrioCallerConfig
-        return TrioCaller(reference, contig, specialise(TrioCallerConfig))
+        extra = {}
+        if cli_args is not None:
+            extra = dict(
+                min_denovo_posterior_phred=arg("min_denovo_posterior", 3.0),
+                denovo_snv_prior=arg("denovo_snv_prior", 1.3e-8),
+                denovo_indel_prior=arg("denovo_indel_prior", 1e-9),
+            )
+            if arg("max_genotype_combinations"):
+                extra["max_joint_combinations"] = arg("max_genotype_combinations")
+        return TrioCaller(reference, contig, specialise(TrioCallerConfig, **extra))
     if kind == "cancer":
         from .core.callers.cancer import CancerCaller, CancerCallerConfig
-        normal = None
-        if cli_args is not None and getattr(cli_args, "normal_samples", None):
-            names = cli_args.normal_samples
-            normal = samples.index(names[0]) if names[0] in samples else None
+        extra = {}
+        if cli_args is not None:
+            names = arg("normal_samples") or []
+            normal = samples.index(names[0]) if names and names[0] in samples else None
+            extra = dict(
+                normal_sample=normal,
+                max_somatic_haplotypes=arg("max_somatic_haplotypes", 2),
+                min_somatic_posterior_phred=arg("min_somatic_posterior", 0.5),
+                somatic_snv_prior=arg("somatic_snv_prior", 1e-4),
+                somatic_indel_prior=arg("somatic_indel_prior", 1e-6),
+                tumour_germline_concentration=arg("tumour_germline_concentration", 1.5),
+            )
         return CancerCaller(reference, contig,
-                            specialise(CancerCallerConfig, normal_sample=normal))
+                            specialise(CancerCallerConfig, **extra))
     if kind == "polyclone":
         from .core.callers.polyclone import PolycloneCaller, PolycloneCallerConfig
-        return PolycloneCaller(reference, contig, specialise(PolycloneCallerConfig))
+        extra = {}
+        if cli_args is not None:
+            extra = dict(max_clones=arg("max_clones", 3),
+                         clonality_prior_decay=arg("clone_prior", 0.1) or 0.1)
+        return PolycloneCaller(reference, contig,
+                               specialise(PolycloneCallerConfig, **extra))
     if kind == "cell":
         from .core.callers.cell import CellCaller, CellCallerConfig
-        return CellCaller(reference, contig, specialise(CellCallerConfig))
+        extra = {}
+        if cli_args is not None:
+            extra = dict(
+                max_phylogeny_size=arg("max_phylogeny_size", 3),
+                dropout_concentration=arg("dropout_concentration", 5.0),
+                phylogeny_concentration=arg("phylogeny_concentration", 20.0),
+            )
+        return CellCaller(reference, contig, specialise(CellCallerConfig, **extra))
     if base_config is not None:
         return IndividualCaller(reference, contig, base_config)
     return IndividualCaller(reference, contig, CallerConfig())
