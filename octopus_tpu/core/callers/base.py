@@ -150,7 +150,8 @@ class CallerBase:
             # of the reference's haplotype-tree lagging across windows
             merge_distance = 350 if cfg.read_linkage in ("paired", "linked") else 150
         for begin, end, variants in propose_active_regions(
-                candidates, merge_distance=merge_distance):
+                candidates, merge_distance=merge_distance,
+                max_variants_per_region=None):
             merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
             if bad_region_config is not None:
                 severity = assess_region(merged, begin, end, len(variants),
@@ -159,11 +160,67 @@ class CallerBase:
                 severity = Severity.NONE
             if severity == Severity.HIGH:
                 continue   # candidates erased (caller.cpp:185-199)
-            ctx = self._build_context(begin, end, variants, reads_by_sample)
-            if ctx is not None:
-                calls.extend(self._infer_and_call(ctx))
+            if len(variants) <= self.MAX_DIRECT_VARIANTS:
+                ctx = self._build_context(begin, end, variants, reads_by_sample)
+                if ctx is not None:
+                    calls.extend(self._infer_and_call(ctx))
+            else:
+                # dense super-region: step the stateful generator through it
+                # (lagging keeps cross-window phase; holdout/backtrack bound
+                # the tree, haplotype_generator.hpp:60-160)
+                calls.extend(self._call_with_generator(variants, reads_by_sample))
         calls.sort(key=lambda c: (c.begin, c.end))
         return calls
+
+    MAX_DIRECT_VARIANTS = 24
+
+    def _call_with_generator(self, variants, reads_by_sample) -> list[SiteCall]:
+        from ..hapgen.haplotype_generator import (GeneratorLimits,
+                                                  HaplotypeGenerator)
+        cfg = self.config
+        fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
+        active_all = [b.overlapping(min(v.begin for v in variants) - 500,
+                                    max(v.end for v in variants) + 500)
+                      for b in reads_by_sample]
+        gen = HaplotypeGenerator(
+            variants, fetch, active_all,
+            GeneratorLimits(target=cfg.max_haplotypes,
+                            holdout=cfg.haplotype_holdout_threshold,
+                            overflow=cfg.haplotype_overflow,
+                            max_holdout_depth=cfg.max_holdout_depth,
+                            lagging_level=cfg.lagging_level,
+                            extension_level=cfg.extension_level,
+                            backtrack_level=cfg.backtrack_level),
+            likelihood_config=cfg.likelihood)
+        calls: list[SiteCall] = []
+        called_spans: list[tuple[int, int]] = []
+        while not gen.done():
+            packet = gen.generate()
+            if packet is None:
+                break
+            ctx = self._context_from_haplotypes(
+                packet.haplotypes, packet.variants, reads_by_sample)
+            if ctx is None:
+                continue
+            for c in self._infer_and_call(ctx):
+                # indicators re-call lagged sites; keep the first emission
+                if any(c.begin < e and c.end > b for b, e in called_spans):
+                    continue
+                calls.append(c)
+                called_spans.append((c.begin, c.end))
+        return calls
+
+    def _context_from_haplotypes(self, haplotypes, variants,
+                                 reads_by_sample) -> ActiveRegionContext | None:
+        if len(haplotypes) < 2:
+            return None
+        hap_begin = haplotypes[0].begin
+        hap_end = haplotypes[0].end
+        active = [b.overlapping(hap_begin, hap_end) for b in reads_by_sample]
+        if all(len(b) == 0 for b in active):
+            return None
+        return self._finish_context(hap_begin, hap_end, variants, haplotypes,
+                                    active)
 
     def _build_context(self, begin, end, variants,
                        reads_by_sample) -> ActiveRegionContext | None:
@@ -191,6 +248,14 @@ class CallerBase:
                                               fetch, cfg.max_haplotypes)
         if len(haplotypes) < 2:
             return None
+        return self._finish_context(begin, end, variants, haplotypes, active)
+
+    def _finish_context(self, begin, end, variants, haplotypes,
+                        active) -> ActiveRegionContext | None:
+        cfg = self.config
+        hap_begin = haplotypes[0].begin
+        hap_end = haplotypes[0].end
+        fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         lik = HaplotypeLikelihoodArray(cfg.likelihood)
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
                      substitution_masks=[h.substitution_mask() for h in haplotypes])
@@ -214,7 +279,7 @@ class CallerBase:
             for hi_, h in enumerate(haplotypes):
                 contains[vi, hi_] = h.contains(v)
         return ActiveRegionContext(
-            begin=begin, end=end, variants=variants, haplotypes=haplotypes,
+            begin=begin, end=end, variants=list(variants), haplotypes=haplotypes,
             lnL=matrices,
             prior_model=prior_model, contains=contains,
         )

@@ -6,15 +6,19 @@ vectors through a vendored ranger ForestProbability and emits
 RFGQ = phred(P(error)).  Here the ensemble is stored as dense arrays
 (feature index / threshold / child pointers / leaf probability per node) so
 a whole call batch evaluates as a handful of device gathers — a
-TPU-friendly formulation of forest inference.  Forests are stored as .npz;
-a bundled trainer (bootstrap + greedy CART) lets users fit forests from
-labelled measure tables (the role of the reference's scripts/forest.smk
-pipeline; ranger .forest files themselves are not readable without ranger —
-documented deviation).
+TPU-friendly formulation of forest inference.
+
+Both the reference's ranger ``.forest``/``.forest.gz`` binary files (parsed
+by `load_ranger_forest`, format per lib/ranger/Forest.cpp:841-905 +
+ForestProbability.cpp:275-315) and our ``.npz`` dense format load; a bundled
+trainer (bootstrap + greedy CART) fits forests from labelled measure tables
+(the role of the reference's scripts/forest.smk pipeline).
 """
 
 from __future__ import annotations
 
+import gzip
+import struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -61,9 +65,111 @@ class Forest:
 
     @staticmethod
     def load(path: str) -> "Forest":
+        if path.endswith(".forest") or path.endswith(".forest.gz"):
+            return load_ranger_forest(path)
         z = np.load(path, allow_pickle=False)
         return Forest(z["feature"], z["threshold"], z["left"], z["right"],
                       z["value"], [str(m) for m in z["measures"]])
+
+
+# ---------------------------------------------------------------------------
+# ranger .forest binary reader (lib/ranger serialization)
+# ---------------------------------------------------------------------------
+
+_TREE_PROBABILITY = 9
+
+
+class _R:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.o = 0
+
+    def u32(self) -> int:
+        v = struct.unpack_from("<I", self.d, self.o)[0]
+        self.o += 4
+        return v
+
+    def u64(self) -> int:
+        v = struct.unpack_from("<Q", self.d, self.o)[0]
+        self.o += 8
+        return v
+
+    def s(self) -> str:
+        n = self.u64()
+        v = self.d[self.o:self.o + n].decode("latin-1")
+        self.o += n
+        return v
+
+    def vec(self, fmt: str, size: int) -> np.ndarray:
+        n = self.u64()
+        v = np.frombuffer(self.d, dtype=fmt, count=n, offset=self.o)
+        self.o += n * size
+        return v
+
+    def bools(self) -> np.ndarray:
+        n = self.u64()
+        v = np.frombuffer(self.d, dtype=np.uint8, count=n, offset=self.o)
+        self.o += n
+        return v.astype(bool)
+
+    def vec2(self, fmt: str, size: int) -> list[np.ndarray]:
+        n = self.u64()
+        return [self.vec(fmt, size) for _ in range(n)]
+
+
+def load_ranger_forest(path: str) -> Forest:
+    """Parse a ranger ForestProbability file (.forest / .forest.gz) into the
+    dense-array ensemble (saveToFile layout: write_meta, treetype,
+    class_values, then per tree child_nodeIDs/split_varIDs/split_values/
+    terminal_nodes/terminal_class_counts)."""
+    raw = open(path, "rb").read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    if raw.startswith(b"version https://git-lfs"):
+        raise ValueError(f"{path} is a git-lfs pointer, not forest data")
+    r = _R(raw)
+    n_dep = r.u32()
+    dep_names = [r.s() for _ in range(n_dep)]
+    n_indep = r.u32()
+    indep_names = [r.s() for _ in range(n_indep)]
+    num_trees = r.u64()
+    r.bools()                       # ordered-variable indicators
+    treetype = r.u32()
+    if treetype != _TREE_PROBABILITY:
+        raise ValueError(f"{path}: not a probability forest (treetype={treetype})")
+    class_values = r.vec("<f8", 8)
+    trees = []
+    max_nodes = 1
+    for _ in range(num_trees):
+        child = r.vec2("<u8", 8)    # [left children, right children]
+        split_var = r.vec("<u8", 8)
+        split_val = r.vec("<f8", 8)
+        terminal_nodes = r.vec("<u8", 8)
+        terminal_counts = r.vec2("<f8", 8)
+        trees.append((child, split_var, split_val, terminal_nodes, terminal_counts))
+        max_nodes = max(max_nodes, len(split_var))
+    # P(class==1): octopus trains TP as class value 1 (scripts/forest.smk)
+    try:
+        tp_idx = int(np.flatnonzero(class_values == 1.0)[0])
+    except IndexError:
+        tp_idx = int(np.argmax(class_values))
+    feature = np.full((num_trees, max_nodes), -1, np.int32)
+    threshold = np.zeros((num_trees, max_nodes), np.float32)
+    left = np.zeros((num_trees, max_nodes), np.int32)
+    right = np.zeros((num_trees, max_nodes), np.int32)
+    value = np.zeros((num_trees, max_nodes), np.float32)
+    for t, (child, split_var, split_val, tnodes, tcounts) in enumerate(trees):
+        n = len(split_var)
+        lc, rc = child[0][:n], child[1][:n]
+        internal = (lc != 0) | (rc != 0)
+        feature[t, :n] = np.where(internal, split_var.astype(np.int64), -1)
+        threshold[t, :n] = split_val
+        left[t, :n] = lc
+        right[t, :n] = rc
+        for node, counts in zip(tnodes, tcounts):
+            tot = counts.sum()
+            value[t, int(node)] = counts[tp_idx] / tot if tot > 0 else 0.5
+    return Forest(feature, threshold, left, right, value, indep_names)
 
 
 # ---------------------------------------------------------------------------

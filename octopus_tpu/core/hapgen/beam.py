@@ -60,12 +60,23 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
     """Keep the `keep` best-supported paths (reference path protected)."""
     if len(paths) <= keep:
         return paths
+    # score only reads fully contained in the haplotype region: overhanging
+    # reads force shifted anchor windows whose junk scores differ per
+    # haplotype and can outvote the true path
+    contained = [b.take((b.begins >= begin) & (b.ends <= end))
+                 for b in reads_by_sample]
+    if any(len(b) for b in contained):
+        reads_by_sample = contained
     haps = [Haplotype.build(begin, end, p, ref_fetch) for p in paths]
     arr = HaplotypeLikelihoodArray(likelihood_config or LikelihoodConfig())
     arr.populate(reads_by_sample, [h.sequence for h in haps], begin,
                  substitution_masks=[h.substitution_mask() for h in haps])
-    # score: number of reads whose max likelihood this haplotype achieves,
-    # tiebroken by total likelihood (haplotype_filter.cpp heuristics)
+    # score: assignment counts with SPLIT credit on ties (each read divides
+    # its vote among the tied paths), tiebroken by total likelihood.  Full
+    # credit on ties would let partial paths free-ride on reads they explain
+    # locally, and exact ties then resolve by beam insertion order — which
+    # systematically discards the newest site (haplotype_filter.cpp scores,
+    # adapted for incremental use)
     n = len(paths)
     assign = np.zeros(n)
     total = np.zeros(n)
@@ -74,7 +85,8 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
         if lnL.shape[1] == 0:
             continue
         m = lnL.max(axis=0)
-        assign += (lnL >= m[None, :] - 1e-9).sum(axis=1)
+        ties = (lnL >= m[None, :] - 1e-9)
+        assign += (ties / np.maximum(ties.sum(axis=0), 1)[None, :]).sum(axis=1)
         total += lnL.sum(axis=1)
     order = np.lexsort((-total, -assign))
     kept = set(int(i) for i in order[:keep])

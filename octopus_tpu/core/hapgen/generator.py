@@ -24,12 +24,14 @@ from ..types.variants import Variant
 def propose_active_regions(
     variants: list[Variant],
     merge_distance: int = 100,
-    max_variants_per_region: int = 24,
+    max_variants_per_region: int | None = 24,
 ) -> list[tuple[int, int, list[Variant]]]:
     """Cluster sorted candidates into active regions.
 
     Returns (begin, end, variants) tuples; regions with more than
-    max_variants_per_region candidates are split at the largest gaps.
+    max_variants_per_region candidates are split at the largest gaps
+    (None disables splitting — dense clusters go to the stateful
+    HaplotypeGenerator instead).
     """
     if not variants:
         return []
@@ -42,7 +44,12 @@ def propose_active_regions(
             clusters.append([v])
     out = []
     for cluster in clusters:
-        out.extend(_split_cluster(cluster, max_variants_per_region))
+        if max_variants_per_region is None:
+            b = min(v.begin for v in cluster)
+            e = max(v.end for v in cluster)
+            out.append((b, max(e, b + 1), cluster))
+        else:
+            out.extend(_split_cluster(cluster, max_variants_per_region))
     return out
 
 
