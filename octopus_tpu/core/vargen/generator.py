@@ -14,6 +14,7 @@ from ..types.variants import Variant
 from .assembler import AssemblerOptions, LocalReassembler
 from .repeat_scanner import RepeatScanner, RepeatScannerOptions
 from .cigar_scanner import CigarScanner, ScannerOptions
+from .randomiser import Randomiser, RandomiserOptions
 
 
 @dataclass
@@ -24,6 +25,8 @@ class VariantGeneratorConfig:
     assembler: AssemblerOptions = field(default_factory=AssemblerOptions)
     use_repeat_scanner: bool = True
     repeat_scanner: RepeatScannerOptions = field(default_factory=RepeatScannerOptions)
+    use_randomiser: bool = False          # test/stress candidate injection
+    randomiser: RandomiserOptions = field(default_factory=RandomiserOptions)
     source_vcf: str | None = None         # --source-candidates
     min_source_quality: float | None = None   # --min-source-candidate-quality
     max_variant_size: int = 2000
@@ -40,10 +43,14 @@ class VariantGenerator:
                            if self.config.use_assembler else None)
         self._repeat_scanner = (RepeatScanner(reference, contig, self.config.repeat_scanner)
                                 if self.config.use_repeat_scanner else None)
+        self._randomiser = (Randomiser(reference, contig, self.config.randomiser)
+                            if self.config.use_randomiser else None)
         self._batches: list[tuple[int, ReadBatch]] = []
 
     def add_reads(self, sample: int, batch: ReadBatch) -> None:
         self._scanner.add_reads(sample, batch)
+        if self._randomiser is not None:
+            self._randomiser.add_reads(sample, batch)
         if self._assembler is not None or self._repeat_scanner is not None:
             self._batches.append((sample, batch))
 
@@ -62,6 +69,9 @@ class VariantGenerator:
             for sample, batch in self._batches:
                 for v in self._repeat_scanner.generate(batch, begin, end):
                     out.setdefault(v)
+        if self._randomiser is not None:
+            for v in self._randomiser.generate(begin, end):
+                out.setdefault(v)
         if self.config.source_vcf:
             for v in self._from_source_vcf(begin, end):
                 out.setdefault(v)

@@ -18,15 +18,16 @@ from .core.csr.measures import compute_measures
 from .core.csr.threshold import ThresholdFilter
 from .core.csr.random_forest import Forest, RandomForestFilter
 from .core.types.variants import Variant
-from .io.bam import BamFile
 from .io.fasta import IndexedFasta, ReferenceGenome
+from .io.read_manager import ReadManager
 from .io.vcf import VcfReader, VcfWriter
+from .readpipe.buffered import BufferedReadPipe
 from .readpipe.pipe import ReadPipe
 
 
 def run_filter_vcf(args) -> int:
     reference = ReferenceGenome(IndexedFasta(args.reference))
-    bams = [BamFile(p) for p in args.reads]
+    manager = ReadManager(args.reads)
     reader = VcfReader(args.filter_vcf)
     header = reader.header
     threshold = ThresholdFilter(args.filter_expression) if args.filter_expression \
@@ -41,26 +42,18 @@ def run_filter_vcf(args) -> int:
         if not any(f.get("ID") == fid for f in header.filters):
             header.add_filter(fid, f"Threshold filter {fid}")
     writer = VcfWriter(args.output, header)
-    pipe = ReadPipe()
-    batch_cache: dict[tuple[str, int], ReadBatch] = {}
+    # buffered pipe with call-region hints (octopus.cpp:1446-1453 run_csr)
+    buffered = BufferedReadPipe(manager, ReadPipe(), max_fetch_size=200_000)
+    hints = [(r.chrom, r.pos - 1, r.pos) for r in VcfReader(args.filter_vcf)]
+    buffered.hint([(c, max(b - 500, 0), e + 500) for c, b, e in hints])
     n = 0
     for rec in reader:
         contig = rec.chrom
         pos0 = rec.pos - 1
-        ckey = (contig, pos0 // 10000)
-        batch = batch_cache.get(ckey)
-        if batch is None:
-            lo = (pos0 // 10000) * 10000 - 500
-            parts = []
-            for bam in bams:
-                got = bam.fetch(contig, max(lo, 0), lo + 11000)
-                parts.extend(b for b in got.values() if len(b))
-            batch = ReadBatch.concatenate(parts).sorted_by_begin() if parts \
-                else ReadBatch.empty(contig)
-            if len(batch):
-                batch, _ = pipe.process(batch)
-            batch_cache.clear()
-            batch_cache[ckey] = batch
+        got = buffered.fetch(contig, max(pos0 - 500, 0), pos0 + 500)
+        parts = [b for b in got.values() if len(b)]
+        batch = ReadBatch.concatenate(parts).sorted_by_begin() if parts \
+            else ReadBatch.empty(contig)
         call = _record_to_call(rec)
         measures = compute_measures(call, batch)
         somatic = bool(rec.info.get("SOMATIC"))
