@@ -27,7 +27,7 @@ from .readpipe.pipe import ReadPipe
 
 def run_filter_vcf(args) -> int:
     reference = ReferenceGenome(IndexedFasta(args.reference))
-    manager = ReadManager(args.reads)
+    manager = ReadManager(args.reads, reference=reference)
     reader = VcfReader(args.filter_vcf)
     header = reader.header
     threshold = ThresholdFilter(args.filter_expression) if args.filter_expression \

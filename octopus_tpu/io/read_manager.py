@@ -4,8 +4,8 @@ Capability-equivalent to the reference's ReadManager
 (src/io/read/read_manager.{hpp,cpp}): owns the input alignment files with an
 open-file limit (LRU pooling), routes fetches by sample across files, and
 provides find_covered_subregion-style read budgeting for dynamic task sizing
-(read_manager.hpp:90-94).  CRAM is rejected with a clear message (codec
-support is gated; BAM is the supported container).
+(read_manager.hpp:90-94).  BAM and CRAM containers are supported (CRAM via
+io/cram.py; pass `reference=` — CRAM slices normally require it to decode).
 """
 
 from __future__ import annotations
@@ -19,15 +19,12 @@ from .bam import BamFile
 
 
 class ReadManager:
-    def __init__(self, paths: list[str], max_open_files: int = 32):
+    def __init__(self, paths: list[str], max_open_files: int = 32,
+                 reference=None):
         self.paths = [str(p) for p in paths]
-        for p in self.paths:
-            if p.endswith(".cram"):
-                raise ValueError(
-                    f"{p}: CRAM input is not supported yet; convert to BAM "
-                    f"(samtools view -b)")
+        self.reference = reference
         self.max_open_files = max_open_files
-        self._open: "OrderedDict[str, BamFile]" = OrderedDict()
+        self._open: "OrderedDict[str, object]" = OrderedDict()
         # samples discovered once (headers only)
         self._samples: list[str] = []
         self._samples_of: dict[str, list[str]] = {}
@@ -36,16 +33,29 @@ class ReadManager:
             self._samples_of[p] = bam.samples()
         self._samples = sorted({s for ss in self._samples_of.values() for s in ss})
 
-    def _get(self, path: str) -> BamFile:
+    def _open_file(self, path: str):
+        if path.endswith(".cram"):
+            from .cram import CramFile
+            return CramFile(path, reference=self.reference)
+        return BamFile(path)
+
+    @staticmethod
+    def _close_file(f) -> None:
+        if hasattr(f, "close"):
+            f.close()
+        elif hasattr(f, "_bgzf"):
+            f._bgzf.close()
+
+    def _get(self, path: str):
         bam = self._open.get(path)
         if bam is not None:
             self._open.move_to_end(path)
             return bam
-        bam = BamFile(path)
+        bam = self._open_file(path)
         self._open[path] = bam
         if len(self._open) > self.max_open_files:
             old_path, old = self._open.popitem(last=False)
-            old._bgzf.close()
+            self._close_file(old)
         return bam
 
     def samples(self) -> list[str]:
@@ -100,7 +110,7 @@ class ReadManager:
 
     def close(self) -> None:
         for bam in self._open.values():
-            bam._bgzf.close()
+            self._close_file(bam)
         self._open.clear()
 
 

@@ -257,7 +257,8 @@ def run_calling(args) -> int:
         with open(listing) as fh:
             read_paths.extend(l.strip() for l in fh if l.strip())
     manager = ReadManager(read_paths,
-                          max_open_files=getattr(args, "max_open_read_files", 250) or 250)
+                          max_open_files=getattr(args, "max_open_read_files", 250) or 250,
+                          reference=reference)
     bams = [manager._get(p) for p in manager.paths]
     samples = manager.samples()
     if getattr(args, "samples", None):

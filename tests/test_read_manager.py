@@ -27,8 +27,10 @@ def test_multi_file_merge(tmp_path):
     assert (np.diff(got["S1"].begins) >= 0).all()
 
 
-def test_cram_rejected(tmp_path):
-    with pytest.raises(ValueError, match="CRAM"):
+def test_cram_accepted(tmp_path):
+    # CRAM is a supported container now (full round-trip coverage in
+    # tests/test_cram.py); a missing file still errors cleanly
+    with pytest.raises(FileNotFoundError):
         ReadManager([str(tmp_path / "x.cram")])
 
 
