@@ -128,11 +128,188 @@ static PyObject* scan_bam_records(PyObject*, PyObject* args) {
         static_cast<Py_ssize_t>(offsets.size() * 8));
 }
 
+// ---------------------------------------------------------------------------
+// rANS 4x8 (CRAM block method 4) — decode hot loops.
+//
+// The CRAM container layer (octopus_tpu/io/cram.py) replaces the reference's
+// htslib dependency; quality/base streams dominate decode time and the
+// per-byte state machine is unvectorisable in numpy, so it lives here.
+// Format per the CRAM codecs spec: 4 interleaved 32-bit states, 12-bit
+// normalised frequencies, RLE'd frequency tables.
+// ---------------------------------------------------------------------------
+
+namespace rans {
+
+constexpr uint32_t kTfShift = 12;
+constexpr uint32_t kTotFreq = 1u << kTfShift;
+constexpr uint32_t kLow = 1u << 23;
+
+struct Reader {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+    uint8_t byte() {
+        if (p >= end) { ok = false; return 0; }
+        return *p++;
+    }
+};
+
+// order-0 frequency table: symbol RLE + 1/2-byte frequencies
+static bool read_freqs(Reader& r, uint32_t* freq) {
+    std::memset(freq, 0, 256 * sizeof(uint32_t));
+    int rle = 0;
+    int j = r.byte();
+    do {
+        uint32_t f = r.byte();
+        if (f >= 128) f = ((f & 127) << 8) | r.byte();
+        if (j < 0 || j > 255) return false;
+        freq[j] = f;
+        if (rle > 0) {
+            rle--;
+            j++;
+        } else if (r.p < r.end && *r.p == j + 1) {
+            j = r.byte();
+            rle = r.byte();
+        } else {
+            j = r.byte();
+        }
+    } while (j != 0 && r.ok);
+    return r.ok;
+}
+
+struct Table {
+    uint32_t freq[256];
+    uint32_t cum[256];
+    uint8_t sym[kTotFreq];
+    void build() {
+        uint32_t x = 0;
+        for (int s = 0; s < 256; s++) {
+            cum[s] = x;
+            for (uint32_t k = 0; k < freq[s] && x + k < kTotFreq; k++) sym[x + k] = s;
+            x += freq[s];
+        }
+    }
+};
+
+static inline void renorm(uint32_t& x, Reader& r) {
+    while (x < kLow && r.p < r.end) x = (x << 8) | *r.p++;
+}
+
+static bool decode0(Reader& r, uint8_t* out, size_t out_sz) {
+    Table t;
+    if (!read_freqs(r, t.freq)) return false;
+    t.build();
+    if (r.end - r.p < 16) return false;
+    uint32_t st[4];
+    for (int j = 0; j < 4; j++) {
+        std::memcpy(&st[j], r.p, 4);
+        r.p += 4;
+    }
+    for (size_t i = 0; i < out_sz; i++) {
+        uint32_t& x = st[i & 3];
+        const uint32_t slot = x & (kTotFreq - 1);
+        const uint8_t s = t.sym[slot];
+        out[i] = s;
+        x = t.freq[s] * (x >> kTfShift) + slot - t.cum[s];
+        renorm(x, r);
+    }
+    return true;
+}
+
+static bool decode1(Reader& r, uint8_t* out, size_t out_sz) {
+    std::vector<Table> tables(256);
+    std::vector<bool> present(256, false);
+    int rle = 0;
+    int c = r.byte();
+    do {
+        if (c < 0 || c > 255) return false;
+        if (!read_freqs(r, tables[c].freq)) return false;
+        present[c] = true;
+        if (rle > 0) {
+            rle--;
+            c++;
+        } else if (r.p < r.end && *r.p == c + 1) {
+            c = r.byte();
+            rle = r.byte();
+        } else {
+            c = r.byte();
+        }
+    } while (c != 0 && r.ok);
+    if (!r.ok) return false;
+    for (int i = 0; i < 256; i++)
+        if (present[i]) tables[i].build();
+    if (r.end - r.p < 16) return false;
+    uint32_t st[4];
+    for (int j = 0; j < 4; j++) {
+        std::memcpy(&st[j], r.p, 4);
+        r.p += 4;
+    }
+    const size_t isz4 = out_sz >> 2;
+    size_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    uint8_t ctx[4] = {0, 0, 0, 0};
+    auto step = [&](int j) {
+        uint32_t& x = st[j];
+        Table& t = tables[ctx[j]];
+        const uint32_t slot = x & (kTotFreq - 1);
+        const uint8_t s = t.sym[slot];
+        out[pos[j]] = s;
+        x = t.freq[s] * (x >> kTfShift) + slot - t.cum[s];
+        renorm(x, r);
+        ctx[j] = s;
+        pos[j]++;
+    };
+    for (size_t i = 0; i < isz4; i++)
+        for (int j = 0; j < 4; j++) step(j);
+    while (pos[3] < out_sz) step(3);
+    return true;
+}
+
+}  // namespace rans
+
+static PyObject* rans_uncompress(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+    const uint8_t* data = static_cast<const uint8_t*>(buf.buf);
+    const Py_ssize_t n = buf.len;
+    if (n < 9) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "truncated rANS stream");
+        return nullptr;
+    }
+    const uint8_t order = data[0];
+    uint32_t out_sz;
+    std::memcpy(&out_sz, data + 5, 4);
+    PyObject* result = PyBytes_FromStringAndSize(nullptr, out_sz);
+    if (!result) {
+        PyBuffer_Release(&buf);
+        return nullptr;
+    }
+    bool ok = true;
+    if (out_sz > 0) {
+        uint8_t* out = reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(result));
+        rans::Reader r{data + 9, data + n};
+        Py_BEGIN_ALLOW_THREADS
+        ok = (order == 0) ? rans::decode0(r, out, out_sz)
+             : (order == 1) ? rans::decode1(r, out, out_sz)
+                            : false;
+        Py_END_ALLOW_THREADS
+    }
+    PyBuffer_Release(&buf);
+    if (!ok) {
+        Py_DECREF(result);
+        PyErr_SetString(PyExc_ValueError, "corrupt rANS stream");
+        return nullptr;
+    }
+    return result;
+}
+
 static PyMethodDef methods[] = {
     {"inflate_bgzf", inflate_bgzf, METH_VARARGS,
      "Inflate concatenated BGZF blocks -> (data, block_coffsets_u64, block_uoffsets_u64)."},
     {"scan_bam_records", scan_bam_records, METH_VARARGS,
      "Scan BAM record boundaries -> uint64-le offsets bytes."},
+    {"rans_uncompress", rans_uncompress, METH_VARARGS,
+     "Decode a CRAM rANS-4x8 stream (order 0 or 1) -> bytes."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -16,6 +16,11 @@ import struct
 
 import numpy as np
 
+try:  # native decode hot loop (native/octopus_native.cpp); python fallback
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 TF_SHIFT = 12
 TOTFREQ = 1 << TF_SHIFT          # 4096
 RANS_LOW = 1 << 23
@@ -278,6 +283,12 @@ def compress(data: bytes, order: int = 0) -> bytes:
 
 
 def uncompress(stream: bytes) -> bytes:
+    if _native is not None:
+        return _native.rans_uncompress(stream)
+    return _uncompress_py(stream)
+
+
+def _uncompress_py(stream: bytes) -> bytes:
     order, comp_sz, out_sz = struct.unpack_from("<BII", stream, 0)
     off = 9
     if out_sz == 0:
