@@ -12,12 +12,11 @@ split across site classes (SNVs, repeat-context indels, complex indels) with
 per-class heterozygosities and a multinomial combination term
 (coalescent_model.cpp:100-180).
 
-Deviation from the reference (documented): the reference derives per-indel
-heterozygosity from a generated context table (indel_mutation_model_config);
-here the repeat-context enrichment is derived from the repeat-based indel
-error model's penalty tables (heterozygosity scaled by
-10^((default_open - site_open)/10)).  This preserves the repeat/complex
-split and magnitude scaling; exact table extraction is a planned refinement.
+Per-indel heterozygosity comes from the repeat-context mutation model
+(core/models/indel_mutation.py — exact closed-form extension model plus a
+compact parametrization of the Montgomery-derived enrichment curves),
+mirroring calculate_heterozygosity (coalescent_model.cpp:321-326) with the
+reference's (min, max) -> (complex, repeat) class buffering.
 """
 
 from __future__ import annotations
@@ -98,13 +97,10 @@ class CoalescentModel:
         self._repeat_intervals = np.asarray(
             [(r.pos, r.pos + r.length) for r in self._repeats], np.int64
         ).reshape(-1, 2)
-        self._indel_model = indel_error_model
-        if indel_error_model is not None:
-            pen = indel_error_model.set_penalties(ref_codes)
-            self._site_open = pen.gap_open
-            self._default_open = indel_error_model.default_open
-        else:
-            self._site_open = None
+        from .indel_mutation import ContextIndelModel, IndelMutationParams
+        self._context_model = ContextIndelModel(
+            ref_codes,
+            IndelMutationParams(indel_mutation_prior=self.params.indel_heterozygosity))
         self._haplotype_variants: list[tuple[Variant, ...]] = []
         self._variant_ids: dict[Variant, int] = {}
         self._variant_kinds: list[int] = []      # 0 snp, 1 repeat indel, 2 complex indel
@@ -144,11 +140,12 @@ class CoalescentModel:
         return 2
 
     def _site_heterozygosity(self, v: Variant) -> float:
-        if not v.is_indel() or self._site_open is None:
+        """Per-site indel heterozygosity from the repeat-context mutation
+        model (coalescent_model.cpp:321-326 calculate_heterozygosity)."""
+        if not v.is_indel():
             return self.params.indel_heterozygosity
-        pos = int(np.clip(v.begin - self.reference.begin, 0, len(self._site_open) - 1))
-        enrich = 10.0 ** ((self._default_open - float(self._site_open[pos])) / 10.0)
-        return min(self.params.indel_heterozygosity * max(enrich, 1.0), 0.5)
+        pos = v.begin - self.reference.begin
+        return self._context_model.indel_probability(pos, max(v.indel_size(), 1))
 
     # -- evaluation --------------------------------------------------------
 

@@ -30,6 +30,8 @@ class DeNovoModel:
     def __init__(self, params: DeNovoParams | None = None):
         self.params = params or DeNovoParams()
         self._cache: dict[tuple[int, int], float] = {}
+        self._context = None          # lazy ContextIndelModel over the parent
+        self._context_key = None
 
     def ln_probability(self, child_idx: int, parent_idx: int,
                        haplotypes: list[Haplotype]) -> float:
@@ -45,14 +47,26 @@ class DeNovoModel:
         lnp = 0.0
         for v in cs.symmetric_difference(ps):
             if v.is_indel():
-                # indel prior decays with size (reference scales via the
-                # context indel mutation model)
-                lnp += math.log(self.params.indel_prior) + (
-                    -0.1 * max(v.indel_size() - 1, 0))
+                # repeat-context, size-dependent indel prior (the reference
+                # scores via its IndelMutationModel context; indel_mutation.py
+                # reproduces that model)
+                ctx = self._context_for(parent)
+                lnp += math.log(max(ctx.indel_probability(
+                    v.begin - parent.begin, max(v.indel_size(), 1)), 1e-300))
             else:
                 lnp += math.log(self.params.snv_prior)
         self._cache[key] = lnp
         return lnp
+
+    def _context_for(self, parent: Haplotype):
+        key = id(parent)
+        if self._context_key != key:
+            from .indel_mutation import ContextIndelModel, IndelMutationParams
+            self._context = ContextIndelModel(
+                parent.sequence,
+                IndelMutationParams(indel_mutation_prior=self.params.indel_prior))
+            self._context_key = key
+        return self._context
 
 
 __all__ = ["DeNovoModel", "DeNovoParams"]
