@@ -22,7 +22,9 @@ from ..hapgen.generator import (
     group_exclusive_sites,
     propose_active_regions,
 )
-from ..likelihood.likelihood_array import HaplotypeLikelihoodArray, LikelihoodConfig
+from ..likelihood.likelihood_array import (HaplotypeLikelihoodArray,
+                                           LikelihoodConfig,
+                                           ShortHaplotypeError)
 from ..models.coalescent import CoalescentModel, CoalescentParams
 from ..models.individual import logsumexp
 from ..tools.phaser import Phaser
@@ -219,8 +221,12 @@ class CallerBase:
         active = [b.overlapping(hap_begin, hap_end) for b in reads_by_sample]
         if all(len(b) == 0 for b in active):
             return None
-        return self._finish_context(hap_begin, hap_end, variants, haplotypes,
-                                    active)
+        try:
+            return self._finish_context(hap_begin, hap_end, variants,
+                                        haplotypes, active)
+        except ShortHaplotypeError:
+            # skip the region, as the reference does (caller.cpp:1182-1188)
+            return None
 
     def _build_context(self, begin, end, variants,
                        reads_by_sample) -> ActiveRegionContext | None:
@@ -248,7 +254,11 @@ class CallerBase:
                                               fetch, cfg.max_haplotypes)
         if len(haplotypes) < 2:
             return None
-        return self._finish_context(begin, end, variants, haplotypes, active)
+        try:
+            return self._finish_context(begin, end, variants, haplotypes,
+                                        active)
+        except ShortHaplotypeError:
+            return None
 
     def _finish_context(self, begin, end, variants, haplotypes,
                         active) -> ActiveRegionContext | None:

@@ -93,8 +93,24 @@ class HaplotypeGenerator:
         lagged_vars = [v for p in self._lagged_paths for v in p]
         begin = min([step.begin] + [v.begin for v in lagged_vars])
         end = max([step.end, begin + 1] + [v.end + 1 for v in lagged_vars])
-        region_begin = max(begin - self.pad, 0)
-        region_end = end + self.pad
+        # Haplotypes must span every overlapping read plus the HMM band pad,
+        # or the likelihood model cannot score the read (the reference skips
+        # such regions via ShortHaplotypeError, caller.cpp:1182-1188; we
+        # expand instead so the read still fits).
+        lo, hi = begin, end
+        for b in self.reads_by_sample:
+            ov = b.overlapping(begin, end)
+            if len(ov):
+                lo = min(lo, int(ov.begins.min()))
+                hi = max(hi, int(ov.ends.max()))
+        hmm_pad = (self.likelihood_config.max_indel_error
+                   if self.likelihood_config is not None else 8)
+        # deletions shrink the haplotype sequence; reserve slack for the
+        # worst-case path so hap_len >= read_len + 2*band still holds
+        del_slack = sum(max(0, (v.end - v.begin) - len(v.alt))
+                        for v in set(lagged_vars) | set(step.included))
+        region_begin = max(lo - (hmm_pad + self.pad), 0)
+        region_end = hi + hmm_pad + self.pad + del_slack
 
         fresh = step.included[step.n_indicators:] if not self._holdout_stack \
             else step.included

@@ -56,6 +56,13 @@ class LikelihoodConfig:
     nuc_prior: int = 2
 
 
+class ShortHaplotypeError(ValueError):
+    """A haplotype is too short to band-align some overlapping read
+    (reference: HaplotypeLikelihoodModel::ShortHaplotypeError,
+    haplotype_likelihood_model.cpp:244-252; callers skip the region,
+    caller.cpp:1182-1188)."""
+
+
 @dataclass
 class FlankState:
     lhs_flank: int
@@ -164,7 +171,7 @@ class HaplotypeLikelihoodArray:
                     if over > 0:
                         pos -= over
                     if pos < pad or pos + int(lens[r]) + pad > hap_len:
-                        raise ValueError(
+                        raise ShortHaplotypeError(
                             f"haplotype {h} too short for read {r} "
                             f"(len {lens[r]}, hap {hap_len})"
                         )

@@ -121,3 +121,43 @@ def test_dense_region_calls_through_base_caller():
         if c.begin in positions:
             gt = sorted(c.genotypes[0])
             assert gt == [0, 1]
+
+
+def test_generated_haplotypes_cover_read_overhangs():
+    # Regression: a narrow variant cluster with long overlapping reads used
+    # to produce haplotypes shorter than read_len + 2*band, crashing the
+    # likelihood array (the reference skips such regions via
+    # ShortHaplotypeError, caller.cpp:1182-1188; we expand the region).
+    codes = _ref()
+    cands = [_snv_at(codes, p) for p in (500, 510, 520)]
+    # a 3bp deletion also shrinks the haplotype sequence
+    cands.append(Variant.make(530, codes[530:534], codes[530:531]))
+    reads = _reads_over(codes, 360, 680, cands[:1], n=40, L=150)
+    gen = HaplotypeGenerator(
+        cands, lambda b, e: codes[b:e], [reads],
+        GeneratorLimits(target=64), pad=4)
+    pad = 8  # default LikelihoodConfig.max_indel_error
+    packets = 0
+    while not gen.done():
+        packet = gen.generate()
+        if packet is None:
+            break
+        packets += 1
+        ov = reads.overlapping(packet.active_begin, packet.active_end)
+        if not len(ov):
+            continue
+        for h in packet.haplotypes:
+            for r in range(len(ov)):
+                rl = int(ov.lengths()[r])
+                assert len(h.sequence) >= rl + 2 * pad
+    assert packets >= 1
+
+
+def test_short_haplotype_error_type():
+    from octopus_tpu.core.likelihood.likelihood_array import (
+        HaplotypeLikelihoodArray, LikelihoodConfig, ShortHaplotypeError)
+    codes = _ref(200)
+    reads = _reads_over(codes, 0, 160, [], n=4, L=150)
+    arr = HaplotypeLikelihoodArray(LikelihoodConfig())
+    with pytest.raises(ShortHaplotypeError):
+        arr.populate([reads], [codes[40:191]], 40)
