@@ -10,9 +10,15 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <set>
 #include <string>
+#include <tuple>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 #include <zlib.h>
@@ -303,7 +309,261 @@ static PyObject* rans_uncompress(PyObject*, PyObject* args) {
     return result;
 }
 
+// ---------------------------------------------------------------------------
+// De-Bruijn bubble extraction (host assembler hot loop)
+//
+// Mirrors octopus_tpu/core/vargen/assembler.py:DeBruijnGraph bit-for-bit:
+// edge iteration follows Python-dict insertion order and the best-first
+// search breaks score ties by global push counter, so the extracted bubble
+// list is identical to the pure-python implementation (tested in
+// tests/test_assembler.py). Capability-equivalent to the reference's
+// Assembler bubble extraction (src/core/tools/vargen/utils/assembler.cpp).
+// ---------------------------------------------------------------------------
+
+namespace dbg {
+
+struct Edge {
+    int dst;
+    int weight;
+    bool is_ref;   // edge on the reference path
+    int ref_order; // index on the reference path, -1 otherwise
+};
+
+struct Graph {
+    int k;
+    // node id <-> (k-1)-mer
+    std::unordered_map<std::string, int> ids;
+    std::vector<std::string> kmers;
+    // adjacency preserving insertion order (Python dict semantics)
+    std::vector<std::vector<Edge>> adj;
+    std::vector<int> ref_path;       // node ids along the reference
+    std::vector<int> ref_index;      // node id -> position on ref path (-1)
+    bool valid = true;
+
+    int intern(const char* s, int len) {
+        auto it = ids.find(std::string(s, len));
+        if (it != ids.end()) return it->second;
+        int id = (int)kmers.size();
+        ids.emplace(std::string(s, len), id);
+        kmers.emplace_back(s, len);
+        adj.emplace_back();
+        return id;
+    }
+
+    Edge* find_edge(int src, int dst) {
+        for (auto& e : adj[src])
+            if (e.dst == dst) return &e;
+        return nullptr;
+    }
+
+    void insert_reference(const char* seq, Py_ssize_t n) {
+        if (n < k) { valid = false; return; }
+        std::vector<int> nodes;
+        nodes.reserve(n - k + 2);
+        for (Py_ssize_t i = 0; i + k - 1 <= n; ++i)
+            nodes.push_back(intern(seq + i, k - 1));
+        {   // reference (k-1)-mers must be unique at this k
+            std::vector<char> seen(kmers.size(), 0);
+            for (int id : nodes) {
+                if (seen[id]) { valid = false; return; }
+                seen[id] = 1;
+            }
+        }
+        ref_path = nodes;
+        for (size_t i = 0; i + 1 < nodes.size(); ++i) {
+            int src = nodes[i], dst = nodes[i + 1];
+            Edge* e = find_edge(src, dst);
+            if (!e) adj[src].push_back(Edge{dst, 0, true, (int)i});
+            else { e->is_ref = true; e->ref_order = (int)i; }
+        }
+        ref_index.assign(kmers.size(), -1);
+        for (size_t i = 0; i < ref_path.size(); ++i)
+            ref_index[ref_path[i]] = (int)i;
+    }
+
+    void insert_clean(const char* seq, Py_ssize_t n) {
+        int prev = intern(seq, k - 1);
+        for (Py_ssize_t i = 0; i + k <= n; ++i) {
+            int node = intern(seq + i + 1, k - 1);
+            if (prev >= (int)ref_index.size()) ref_index.resize(kmers.size(), -1);
+            Edge* e = find_edge(prev, node);
+            if (e) e->weight += 1;
+            else adj[prev].push_back(Edge{node, 1, false, -1});
+            prev = node;
+        }
+        if (ref_index.size() < kmers.size()) ref_index.resize(kmers.size(), -1);
+    }
+
+    void insert_read(const char* seq, Py_ssize_t n) {
+        Py_ssize_t start = 0;
+        for (Py_ssize_t i = 0; i <= n; ++i) {
+            if (i == n || (unsigned char)seq[i] == 4) {
+                if (i - start >= k) insert_clean(seq + start, i - start);
+                start = i + 1;
+            }
+        }
+    }
+
+    void prune(int min_weight) {
+        for (auto& edges : adj) {
+            edges.erase(std::remove_if(edges.begin(), edges.end(),
+                                       [&](const Edge& e) {
+                                           return e.weight < min_weight && !e.is_ref;
+                                       }),
+                        edges.end());
+        }
+    }
+};
+
+struct PathEntry {
+    int node;
+    int parent;  // index into arena, -1 for root
+    int start_i; // seed position on the reference path
+    int min_w;
+    int depth;   // number of nodes on the alt path
+};
+
+struct HeapItem {
+    int score;       // min edge support along the path
+    long counter;    // global push order (FIFO tie-break)
+    int entry;       // arena index
+    bool operator<(const HeapItem& o) const {
+        // max-heap on score, then min on counter
+        if (score != o.score) return score < o.score;
+        return counter > o.counter;
+    }
+};
+
+struct Bubble {
+    int start_i, end_i;
+    std::string alt;
+    double score;
+};
+
+static bool path_contains(const std::vector<PathEntry>& arena, int entry, int node) {
+    for (int e = entry; e >= 0; e = arena[e].parent)
+        if (arena[e].node == node) return true;
+    return false;
+}
+
+static std::vector<Bubble> extract(Graph& g, int max_bubbles, double min_score,
+                                   int max_extension, long max_steps) {
+    std::vector<Bubble> out;
+    std::vector<PathEntry> arena;
+    std::priority_queue<HeapItem> heap;
+    long counter = 0;
+    for (size_t i = 0; i + 1 < g.ref_path.size(); ++i) {
+        int src = g.ref_path[i];
+        for (const Edge& e : g.adj[src]) {
+            if (e.is_ref && e.ref_order == (int)i) continue;
+            if (e.weight <= 0) continue;
+            if (counter >= max_steps) break;
+            arena.push_back(PathEntry{e.dst, -1, (int)i, e.weight, 1});
+            heap.push(HeapItem{e.weight, counter++, (int)arena.size() - 1});
+        }
+    }
+    std::set<std::tuple<int, int, std::string>> seen;
+    while (!heap.empty() && (int)out.size() < max_bubbles) {
+        HeapItem item = heap.top();
+        heap.pop();
+        const PathEntry ent = arena[item.entry];
+        int node = ent.node;
+        int ridx = node < (int)g.ref_index.size() ? g.ref_index[node] : -1;
+        if (ridx >= 0 && ridx > ent.start_i) {
+            // rejoined the reference: alt = first ref node + last char of
+            // each path node in root->leaf order
+            std::string tail(ent.depth, '\0');
+            int e = item.entry;
+            for (int d = ent.depth - 1; d >= 0; --d, e = arena[e].parent)
+                tail[d] = g.kmers[arena[e].node].back();
+            std::string alt = g.kmers[g.ref_path[ent.start_i]] + tail;
+            auto key = std::make_tuple(ent.start_i, ridx, alt);
+            if (!seen.count(key) && ent.min_w >= min_score) {
+                seen.insert(key);
+                out.push_back(Bubble{ent.start_i, ridx, alt, (double)ent.min_w});
+            }
+            continue;
+        }
+        if (ent.depth > max_extension) continue;
+        for (const Edge& e : g.adj[node]) {
+            if (e.weight <= 0 && !e.is_ref) continue;
+            if (e.dst == g.ref_path[ent.start_i] ||
+                path_contains(arena, item.entry, e.dst))
+                continue;
+            if (counter >= max_steps) break;
+            int eff = e.is_ref ? ent.min_w : std::min(ent.min_w, e.weight);
+            arena.push_back(PathEntry{e.dst, item.entry, ent.start_i, eff,
+                                      ent.depth + 1});
+            heap.push(HeapItem{eff, counter++, (int)arena.size() - 1});
+        }
+    }
+    return out;
+}
+
+}  // namespace dbg
+
+// extract_bubbles(ref: bytes, reads: list[bytes], k, min_weight, max_bubbles,
+//                 min_score, max_extension, max_steps)
+//   -> list[(start_i, end_i, alt, score)] | None
+static PyObject* extract_bubbles(PyObject*, PyObject* args) {
+    Py_buffer ref_buf;
+    PyObject* reads;
+    int k, min_weight, max_bubbles, max_extension;
+    long max_steps = 100000;
+    double min_score;
+    if (!PyArg_ParseTuple(args, "y*O!iiidi|l", &ref_buf, &PyList_Type, &reads,
+                          &k, &min_weight, &max_bubbles, &min_score,
+                          &max_extension, &max_steps))
+        return nullptr;
+    if (k < 2) {
+        PyBuffer_Release(&ref_buf);
+        PyErr_SetString(PyExc_ValueError, "k must be >= 2");
+        return nullptr;
+    }
+    std::vector<std::pair<const char*, Py_ssize_t>> read_views;
+    Py_ssize_t n_reads = PyList_GET_SIZE(reads);
+    read_views.reserve(n_reads);
+    for (Py_ssize_t i = 0; i < n_reads; ++i) {
+        PyObject* item = PyList_GET_ITEM(reads, i);
+        char* data;
+        Py_ssize_t len;
+        if (PyBytes_AsStringAndSize(item, &data, &len) < 0) {
+            PyBuffer_Release(&ref_buf);
+            return nullptr;
+        }
+        read_views.emplace_back(data, len);
+    }
+    dbg::Graph g;
+    g.k = k;
+    std::vector<dbg::Bubble> bubbles;
+    Py_BEGIN_ALLOW_THREADS
+    g.insert_reference((const char*)ref_buf.buf, ref_buf.len);
+    if (g.valid) {
+        for (auto& rv : read_views) g.insert_read(rv.first, rv.second);
+        g.prune(min_weight);
+        bubbles = dbg::extract(g, max_bubbles, min_score, max_extension,
+                               max_steps);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&ref_buf);
+    if (!g.valid) Py_RETURN_NONE;
+    PyObject* out = PyList_New((Py_ssize_t)bubbles.size());
+    if (!out) return nullptr;
+    for (size_t i = 0; i < bubbles.size(); ++i) {
+        const auto& b = bubbles[i];
+        PyObject* alt = PyBytes_FromStringAndSize(b.alt.data(),
+                                                  (Py_ssize_t)b.alt.size());
+        if (!alt) { Py_DECREF(out); return nullptr; }
+        PyObject* tup = Py_BuildValue("iiNd", b.start_i, b.end_i, alt, b.score);
+        if (!tup) { Py_DECREF(out); return nullptr; }
+        PyList_SET_ITEM(out, (Py_ssize_t)i, tup);
+    }
+    return out;
+}
+
 static PyMethodDef methods[] = {
+    {"extract_bubbles", extract_bubbles, METH_VARARGS,
+     "De-Bruijn bubble extraction -> [(ref_start_i, ref_end_i, alt, score)] or None."},
     {"inflate_bgzf", inflate_bgzf, METH_VARARGS,
      "Inflate concatenated BGZF blocks -> (data, block_coffsets_u64, block_uoffsets_u64)."},
     {"scan_bam_records", scan_bam_records, METH_VARARGS,

@@ -23,6 +23,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+try:  # native graph build + bubble search (native/octopus_native.cpp);
+    # bit-identical to the python DeBruijnGraph below (tests/test_assembler.py)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover - toolchain-less install
+    _native = None
+
 from ...basics.reads import ReadBatch
 from ...basics.sequence import decode_sequence, encode_sequence
 from ..types.variants import Variant, left_align
@@ -39,6 +45,11 @@ class AssemblerOptions:
     min_bubble_score: float = 2.0
     max_variant_size: int = 5000
     max_path_extension: int = 700
+    # total heap-push budget for the best-first bubble search: dense graphs
+    # (many weight-tied error branches) can otherwise enumerate simple paths
+    # combinatorially. The reference bounds this with Yen k-shortest-paths +
+    # graph cleanup (assembler.cpp); we bound total explored states.
+    max_search_steps: int = 100_000
 
 
 class DeBruijnGraph:
@@ -105,7 +116,8 @@ class DeBruijnGraph:
                 del self.edges[src]
 
     def extract_bubbles(self, max_bubbles: int, min_score: float,
-                        max_extension: int) -> list[tuple[int, int, bytes, float]]:
+                        max_extension: int,
+                        max_steps: int = 100_000) -> list[tuple[int, int, bytes, float]]:
         """Alt paths leaving and rejoining the reference path.
 
         Returns (ref_start_index, ref_end_index, alt_sequence, score) where
@@ -123,6 +135,8 @@ class DeBruijnGraph:
                     continue
                 if w <= 0:
                     continue
+                if counter >= max_steps:
+                    break
                 counter += 1
                 heapq.heappush(heap, (-w, counter, i, node, [node], w))
         seen_bubbles = set()
@@ -144,11 +158,38 @@ class DeBruijnGraph:
                     continue
                 if nxt in path or nxt == self.ref_path[start_i]:  # no revisits
                     continue
+                if counter >= max_steps:
+                    break
                 eff = min(min_w, w) if (node, nxt) not in self.ref_order else min_w
                 counter += 1
                 heapq.heappush(heap, (-eff, counter, start_i, nxt,
                                       path + [nxt], eff))
         return out
+
+
+def assemble_bubbles(ref_bytes: bytes, masked_reads: list[bytes], k: int,
+                     opt: "AssemblerOptions"):
+    """Graph build + prune + bubble search for one bin at one kmer size.
+
+    Returns the (start_i, end_i, alt_bytes, score) bubble list, or None when
+    the reference is ambiguous at this k (duplicate (k-1)-mers). Uses the
+    C++ extension when available; the python DeBruijnGraph is the reference
+    implementation and the fallback.
+    """
+    if _native is not None:
+        return _native.extract_bubbles(
+            ref_bytes, masked_reads, k, opt.min_kmer_observations,
+            opt.max_bubbles, float(opt.min_bubble_score),
+            opt.max_path_extension, opt.max_search_steps)
+    g = DeBruijnGraph(k)
+    g.insert_reference(ref_bytes)
+    if not g.valid:
+        return None
+    for seq in masked_reads:
+        g.insert_read(seq)
+    g.prune(opt.min_kmer_observations)
+    return g.extract_bubbles(opt.max_bubbles, opt.min_bubble_score,
+                             opt.max_path_extension, opt.max_search_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -277,15 +318,9 @@ class LocalReassembler:
         for k in opt.kmer_sizes:
             if len(ref_bytes) < k + 1:
                 continue
-            g = DeBruijnGraph(k)
-            g.insert_reference(ref_bytes)
-            if not g.valid:
+            bubbles = assemble_bubbles(ref_bytes, masked_reads, k, opt)
+            if bubbles is None:
                 continue
-            for seq in masked_reads:
-                g.insert_read(seq)
-            g.prune(opt.min_kmer_observations)
-            bubbles = g.extract_bubbles(opt.max_bubbles, opt.min_bubble_score,
-                                        opt.max_path_extension)
             for start_i, end_i, alt_bytes, score in bubbles:
                 # reference segment covered by the bubble: ref node span is
                 # positions [start_i, end_i + k - 1)
@@ -310,6 +345,7 @@ __all__ = [
     "LocalReassembler",
     "AssemblerOptions",
     "DeBruijnGraph",
+    "assemble_bubbles",
     "global_align",
     "variants_from_alignment",
 ]

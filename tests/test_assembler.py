@@ -116,3 +116,53 @@ def test_assembler_deletion_called_end_to_end():
                                     for v in c.alts)]
     assert dels, [(c.begin, [str(v) for v in c.alts]) for c in calls]
     assert sorted(dels[0].genotypes[0]) == [0, 1]
+
+
+def test_native_bubbles_match_python():
+    """The C++ extract_bubbles is bit-identical to the python DeBruijnGraph
+    (same graph semantics, same insertion-order + FIFO tie-breaking)."""
+    from octopus_tpu import _native
+    from octopus_tpu.core.vargen.assembler import DeBruijnGraph
+
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        n_ref = int(rng.integers(60, 400))
+        ref = rng.integers(0, 4, n_ref).astype(np.uint8)
+        # two haplotypes: ref and a mutated copy (SNVs + an indel)
+        hap = ref.copy()
+        for _ in range(int(rng.integers(1, 6))):
+            p = int(rng.integers(5, n_ref - 5))
+            hap[p] = (hap[p] + int(rng.integers(1, 4))) % 4
+        if rng.random() < 0.5 and n_ref > 60:
+            cut = int(rng.integers(20, n_ref - 30))
+            hap = np.concatenate([hap[:cut], hap[cut + int(rng.integers(1, 6)):]])
+        reads = []
+        for _ in range(int(rng.integers(5, 60))):
+            src = hap if rng.random() < 0.5 else ref
+            if len(src) < 30:
+                continue
+            b = int(rng.integers(0, len(src) - 25))
+            r = src[b:b + int(rng.integers(20, min(80, len(src) - b) + 1))].copy()
+            # sprinkle masked bases and errors
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(0, len(r)))] = 4
+            reads.append(r.tobytes())
+        ref_bytes = ref.tobytes()
+        for k in (7, 10, 15):
+            min_w = int(rng.integers(1, 3))
+            max_b = int(rng.integers(3, 40))
+            min_s = float(rng.integers(1, 3))
+            max_ext = int(rng.integers(20, 200))
+            max_steps = int(rng.integers(50, 5000))
+            g = DeBruijnGraph(k)
+            g.insert_reference(ref_bytes)
+            if g.valid:
+                for s in reads:
+                    g.insert_read(s)
+                g.prune(min_w)
+                expect = g.extract_bubbles(max_b, min_s, max_ext, max_steps)
+            else:
+                expect = None
+            got = _native.extract_bubbles(ref_bytes, list(reads), k, min_w,
+                                          max_b, min_s, max_ext, max_steps)
+            assert got == expect, (trial, k, got, expect)
