@@ -72,9 +72,57 @@ class SiteContext:
     misaligned: int = 0
 
 
+def _equiv_shift_max(ref_codes, ref_begin: int, begin: int, end: int,
+                     alt_codes: np.ndarray, is_ins: bool, is_del: bool,
+                     max_shift: int = 50) -> int:
+    """How far right an indel can shift with an identical haplotype.
+
+    A left-aligned indel inside a tandem repeat is observed at shifted
+    anchors in read CIGARs (aligners place it as mapped); support counting
+    must accept any equivalent placement (the reference sidesteps this by
+    assigning reads to haplotypes, read_assigner.cpp).
+    """
+    if ref_codes is None or not (is_ins or is_del):
+        return 0
+    if is_del:
+        moving = list(ref_codes[begin - ref_begin:end - ref_begin])
+        site_end = end
+    else:
+        moving = list(alt_codes)
+        site_end = begin
+    if not moving:
+        return 0
+    shift = 0
+    while shift < max_shift:
+        nxt = site_end - ref_begin + shift
+        if nxt < 0 or nxt >= len(ref_codes):
+            break
+        if moving[0] != ref_codes[nxt]:
+            break
+        moving.append(moving.pop(0))
+        shift += 1
+    return shift
+
+
+def _rotations_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    if len(a) != len(b):
+        return False
+    if np.array_equal(a, b):
+        return True
+    doubled = np.concatenate([b, b])
+    n = len(a)
+    return any(np.array_equal(a, doubled[s:s + n]) for s in range(1, n))
+
+
 def _read_supports(batch: ReadBatch, i: int, begin: int, end: int,
-                   alt_codes: np.ndarray, is_ins: bool, is_del: bool):
-    """Does read i support the alt? Returns (bool, base_quality, read_offset)."""
+                   alt_codes: np.ndarray, is_ins: bool, is_del: bool,
+                   shift_max: int = 0):
+    """Does read i support the alt? Returns (bool, base_quality, read_offset).
+
+    Indels are matched anywhere in [begin, begin + shift_max] (the repeat
+    equivalence range): insertions also accept rotations of the inserted
+    sequence, which is what a right-shifted placement looks like.
+    """
     seq = batch.sequence(i)
     quals = batch.qualities(i)
     pos = int(batch.begins[i])
@@ -92,12 +140,14 @@ def _read_supports(batch: ReadBatch, i: int, begin: int, end: int,
             pos += length
             q += length
         elif op == cg.I:
-            if is_ins and pos == begin and length == len(alt_codes):
-                if np.array_equal(seq[q:q + length], alt_codes):
+            if (is_ins and begin <= pos <= begin + shift_max
+                    and length == len(alt_codes)):
+                if _rotations_equal(seq[q:q + length], alt_codes):
                     return True, int(quals[q:q + length].min()), q
             q += length
         elif op == cg.D:
-            if is_del and pos == begin and pos + length == end:
+            if (is_del and begin <= pos <= begin + shift_max
+                    and length == end - begin):
                 return True, None, q
             pos += length
         elif op == cg.S:
@@ -161,9 +211,11 @@ def site_context(batch: ReadBatch, begin: int, end: int, alt_codes: np.ndarray,
     ctx.duplicates = int(((flags & FLAG_DUPLICATE) != 0).sum())
     lens = over.lengths()
     ctx.read_lengths = lens.tolist()
+    shift_max = _equiv_shift_max(ref_codes, ref_begin, begin, end, alt_codes,
+                                 is_insertion, is_deletion)
     for i in range(n):
         sup, bq, off = _read_supports(over, i, begin, end, alt_codes,
-                                      is_insertion, is_deletion)
+                                      is_insertion, is_deletion, shift_max)
         mism = _read_mismatches(over, i, ref_codes, ref_begin)
         ctx.mismatch_counts.append(mism)
         if mism >= 6:
@@ -204,6 +256,22 @@ def _end_bias(offsets: list, end_frac: float = 0.1) -> float:
     return near / len(offsets)
 
 
+def _strand_bias_prob(f1: int, r1: int, f2: int, r2: int,
+                      min_diff: float = 0.25) -> float:
+    """P(|p1 - p2| > min_diff) for p_i ~ Beta(f_i + 1, r_i + 1).
+
+    Deterministic grid integration replacing the reference's Monte-Carlo
+    resampling (strand_bias.cpp sample_beta with +1 direction priors):
+    integral of pdf1(x) * [cdf2(x - d) + 1 - cdf2(x + d)] dx.
+    """
+    b1 = sps.beta(f1 + 1, r1 + 1)
+    b2 = sps.beta(f2 + 1, r2 + 1)
+    x = np.linspace(0.0, 1.0, 513)
+    pdf1 = b1.pdf(x)
+    tail = b2.cdf(x - min_diff) + b2.sf(x + min_diff)
+    return float(min(max(np.trapezoid(pdf1 * tail, x), 0.0), 1.0))
+
+
 def _side_bias(offsets: list) -> float:
     """Binomial-style left/right imbalance of the allele position in reads."""
     if not offsets:
@@ -238,7 +306,13 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     out["SMQ"] = (float(np.median(ctx.alt_mapping_qualities))
                   if ctx.alt_mapping_qualities else 0.0)
     out["MQD"] = abs(out["AMQ"] - out["MQ"])
-    out["BQ"] = float(np.median(ctx.alt_base_qualities)) if ctx.alt_base_qualities else 0.0
+    # BQ is not evaluable for indels (no bases span the allele): the
+    # reference returns a missing value there (median_base_quality.cpp
+    # is_indel guard), and missing values never fail a threshold clause.
+    if v.is_indel() or not ctx.alt_base_qualities:
+        out["BQ"] = None
+    else:
+        out["BQ"] = float(np.median(ctx.alt_base_qualities))
     out["MP"] = call.info.get("MP", call.quality)
     out["MPD"] = out["MP"] / depth if depth else 0.0
     out["QD"] = call.quality / depth if depth else 0.0
@@ -247,13 +321,17 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
         n_alt = sum(1 for a in gt if a > 0)
         expected_af = n_alt / len(gt) if gt else 0.5
     out["AFB"] = abs(out["AF"] - expected_af)
-    table = [[ctx.alt_forward, max(ctx.fwd_depth - ctx.alt_forward, 0)],
-             [ctx.alt_reverse, max(ctx.rev_depth - ctx.alt_reverse, 0)]]
-    try:
-        _, p = sps.fisher_exact(table)
-        out["SB"] = 1.0 - p
-    except ValueError:
-        out["SB"] = 0.0
+    # SB follows the reference's StrandBias (strand_bias.cpp): evaluable only
+    # for heterozygous calls; value = P(|p_alt - p_other| > 0.25) where each
+    # p ~ Beta(forward+1, reverse+1) from per-allele supporting reads. A
+    # Fisher tail is far too trigger-happy (fires on ~alpha of true hets).
+    if gt and len(set(gt)) > 1 and any(a > 0 for a in gt):
+        out["SB"] = _strand_bias_prob(
+            ctx.alt_forward, ctx.alt_reverse,
+            max(ctx.fwd_depth - ctx.alt_forward, 0),
+            max(ctx.rev_depth - ctx.alt_reverse, 0))
+    else:
+        out["SB"] = None
     # strand disequilibrium of the whole pileup (binomial two-sided)
     if depth:
         out["SD"] = 1.0 - sps.binomtest(ctx.fwd_depth, depth, 0.5).pvalue

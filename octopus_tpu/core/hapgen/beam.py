@@ -52,7 +52,19 @@ def grow_haplotypes_beam(
     if len(paths) > max_haplotypes:
         paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
                              reads_by_sample, max_haplotypes, likelihood_config)
-    return [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
+    haps = [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
+    # sequence-identical paths (e.g. the same indel proposed at two anchors
+    # inside a repeat, or equivalent variant compositions) are one haplotype
+    # to the model: keep the first representative, as the reference's
+    # sequence-equality haplotype comparison does (haplotype.cpp operator==)
+    seen: dict[bytes, None] = {}
+    unique = []
+    for h in haps:
+        key = h.sequence.tobytes()
+        if key not in seen:
+            seen[key] = None
+            unique.append(h)
+    return unique
 
 
 def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ...basics.reads import ReadBatch
-from ..types.variants import Variant
+from ..types.variants import Variant, left_align
 from .assembler import AssemblerOptions, LocalReassembler
 from .repeat_scanner import RepeatScanner, RepeatScannerOptions
 from .cigar_scanner import CigarScanner, ScannerOptions
@@ -55,26 +55,36 @@ class VariantGenerator:
             self._batches.append((sample, batch))
 
     def generate(self, begin: int, end: int) -> list[Variant]:
+        # all indels are left-aligned before dedup: generators observe the
+        # same event at different anchors inside repeats (CIGAR placement vs
+        # assembly alignment), and two representations of one haplotype must
+        # not both reach the model (they would split posterior mass; the
+        # reference dedups by haplotype sequence, haplotype.cpp operator==)
+        fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
+
+        def norm(v: Variant) -> Variant:
+            return left_align(v, fetch) if v.is_indel() else v
+
         out: dict[Variant, None] = {}
         if self.config.use_pileup_scanner:
             for v in self._scanner.generate(begin, end):
-                out.setdefault(v)
+                out.setdefault(norm(v))
         if self._assembler is not None:
             for sample, batch in self._batches:
                 for v in self._assembler.generate(batch, begin, end):
                     if v.end - v.begin <= max(self.config.max_variant_size,
                                               self.config.assembler.max_variant_size):
-                        out.setdefault(v)
+                        out.setdefault(norm(v))
         if self._repeat_scanner is not None:
             for sample, batch in self._batches:
                 for v in self._repeat_scanner.generate(batch, begin, end):
-                    out.setdefault(v)
+                    out.setdefault(norm(v))
         if self._randomiser is not None:
             for v in self._randomiser.generate(begin, end):
-                out.setdefault(v)
+                out.setdefault(norm(v))
         if self.config.source_vcf:
             for v in self._from_source_vcf(begin, end):
-                out.setdefault(v)
+                out.setdefault(norm(v))
         return sorted(out, key=lambda v: (v.begin, v.end, v.alt))
 
     def _from_source_vcf(self, begin: int, end: int) -> list[Variant]:

@@ -484,7 +484,10 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             for name in annotations:
                 if name in measures and name not in record.info:
                     v = measures[name]
-                    record.info[name] = round(v, 4) if isinstance(v, float) else v
+                    if v is None:
+                        record.info[name] = "."   # missing measure (VCF spec)
+                    else:
+                        record.info[name] = round(v, 4) if isinstance(v, float) else v
             if "DP" not in record.format_keys:
                 record.format_keys.append("DP")
             for s, sv in enumerate(record.sample_values):

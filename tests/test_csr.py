@@ -143,3 +143,100 @@ class TestFacets:
         assert support[0] > 5      # alt-carrying reads assigned to alt hap
         lo, codes = bundle.reference_context
         assert len(codes) > 0
+
+
+class TestMeasureSemantics:
+    """Reference-faithful measure edge cases (median_base_quality.cpp,
+    strand_bias.cpp): missing values must never fail threshold clauses."""
+
+    def _del_call(self, begin, end):
+        ref = encode_sequence("A" * (end - begin + 1))
+        v = Variant.make(begin, ref, ref[:1])
+        return SiteCall(begin=begin, end=end + 1, alts=[v], quality=500.0,
+                        genotypes=[[0, 1]], genotype_qualities=[80.0],
+                        phase_set=0, alt_qualities=[500.0])
+
+    def test_bq_missing_for_indels(self):
+        seq = "ACGT" * 40
+        reads = [(30, "30M2D68M", seq[30:60] + seq[62:130], [37] * 98, 60,
+                  FLAG_REVERSE if i % 2 else 0) for i in range(12)]
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(59, encode_sequence(seq[59:62]), encode_sequence(seq[59]))
+        call = SiteCall(begin=59, end=62, alts=[v], quality=500.0,
+                        genotypes=[[1, 1]], genotype_qualities=[80.0],
+                        phase_set=0, alt_qualities=[500.0])
+        m = compute_measures(call, batch)
+        assert m.get("BQ") is None
+        assert ThresholdFilter("BQ < 15").classify(m) == []
+
+    def test_sb_missing_for_homozygous(self):
+        seq = "ACGT" * 30
+        reads = []
+        for i in range(20):
+            s = list(seq[30:90])
+            s[20] = "T"
+            reads.append((30, "60M", "".join(s), [35] * 60, 60,
+                          0 if i < 18 else FLAG_REVERSE))  # extreme imbalance
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(50, encode_sequence("A"), encode_sequence("T"))
+        call = SiteCall(begin=50, end=51, alts=[v], quality=900.0,
+                        genotypes=[[1, 1]], genotype_qualities=[80.0],
+                        phase_set=0, alt_qualities=[900.0])
+        m = compute_measures(call, batch)
+        assert m.get("SB") is None
+        assert ThresholdFilter("SB > 0.98").classify(m) == []
+
+    def test_sb_balanced_het_not_filtered(self):
+        seq = "ACGT" * 30
+        reads = []
+        for i in range(30):
+            s = list(seq[30:90])
+            if i % 2 == 0:
+                s[20] = "T"
+            reads.append((30, "60M", "".join(s), [35] * 60, 60,
+                          FLAG_REVERSE if i % 3 == 0 else 0))
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(50, encode_sequence("A"), encode_sequence("T"))
+        call = SiteCall(begin=50, end=51, alts=[v], quality=500.0,
+                        genotypes=[[0, 1]], genotype_qualities=[80.0],
+                        phase_set=0, alt_qualities=[500.0])
+        m = compute_measures(call, batch)
+        assert m.get("SB") is not None and m["SB"] < 0.9
+
+    def test_ad_counts_shifted_indel_placements(self):
+        # left-aligned call: del of "AG" at 40 in an (AG)x4 repeat; reads
+        # carry the deletion right-shifted (as an aligner would place it)
+        pre = "ACGTTGCA" * 5                       # 40 bases
+        repeat = "AGAGAGAG"                        # 40..48
+        post = "CCTTGGAACCTTGGAA" * 4
+        seq = pre + repeat + post
+        ref_codes = encode_sequence(seq)
+        reads = []
+        for i in range(14):
+            # 20M at 24 covers to 44, 2D at 44..46, then 40M
+            s = seq[24:44] + seq[46:86]
+            reads.append((24, "20M2D40M", s, [37] * 60, 60,
+                          FLAG_REVERSE if i % 2 else 0))
+        batch = make_read_batch("chr1", reads)
+        v = Variant.make(40, encode_sequence("AGA"), encode_sequence("A"))
+        v = Variant.make(40, encode_sequence(seq[40:42]), np.zeros(0, np.uint8))
+        call = SiteCall(begin=40, end=42, alts=[v], quality=800.0,
+                        genotypes=[[1, 1]], genotype_qualities=[80.0],
+                        phase_set=0, alt_qualities=[800.0])
+        m = compute_measures(call, batch, ref_codes=ref_codes, ref_begin=0)
+        assert m["AD"] == 14
+        assert m["AF"] == pytest.approx(1.0)
+
+
+def test_beam_dedups_equivalent_haplotypes():
+    """Two anchorings of one repeat indel produce ONE haplotype."""
+    from octopus_tpu.core.hapgen.beam import grow_haplotypes_beam
+    seq = "ACGTTGCA" * 5 + "AGAGAGAG" + "CCTTGGAACCTTGGAA" * 4
+    codes = encode_sequence(seq)
+    fetch = lambda b, e: codes[b:e]
+    v1 = Variant.make(40, codes[40:42], np.zeros(0, np.uint8))
+    v2 = Variant.make(42, codes[42:44], np.zeros(0, np.uint8))
+    haps = grow_haplotypes_beam(30, 60, [v1, v2], fetch, [], 16)
+    seqs = {h.sequence.tobytes() for h in haps}
+    assert len(seqs) == len(haps)       # no sequence-identical pair
+    assert len(haps) == 3               # ref, single-del, double-del
