@@ -341,25 +341,38 @@ class HaplotypeLikelihoodArray:
                                > hl - flank_state.rhs_flank))
                 flank_rows.extend(int(k) for k in hsel[in_flank])
 
-        # pad batch to the next power-of-two multiple of the lane width so
-        # kernel shapes come from a small fixed set (no recompile storms)
-        target = LANES
-        while target < n:
-            target *= 2
-        n_pad = target - n
-        if n_pad:
-            z = lambda a: np.concatenate([a, np.zeros((n_pad, a.shape[1]), a.dtype)])
-            tgt_p = np.concatenate([tgt.astype(np.int32),
-                                    np.full((n_pad, L), PAD_CODE, np.int32)])
-            qual_p = z(quals.astype(np.int32))
-            win_p, opn_p, ext_p, mask_p, prior_p = map(z, (win, opn, ext, mask, prior))
-        else:
-            tgt_p, qual_p = tgt.astype(np.int32), quals.astype(np.int32)
-            win_p, opn_p, ext_p, mask_p, prior_p = win, opn, ext, mask, prior
-        scores = np.asarray(pairhmm_scores(
-            tgt_p, qual_p, win_p, opn_p, ext_p, mask_p, prior_p,
-            pad=pad, nuc_prior=cfg.nuc_prior,
-        ))[:n]
+        # batch sizes come from a 3-rung ladder (128/512/2048 lanes) and big
+        # batches launch in 2048-pair chunks: every compiled executable shape
+        # is one of three per length bucket (kernel compiles are expensive on
+        # cold caches), chunk launches are dispatched async and collected at
+        # the end, and transfer volume tracks the real job count
+        ladder = (LANES, 4 * LANES, 16 * LANES)
+        chunk = ladder[-1]
+        tgt_i = tgt.astype(np.int32)
+        qual_i = quals.astype(np.int32)
+        pending = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            target = next((s for s in ladder if s >= m), chunk)
+            n_pad = target - m
+            sl = slice(lo, hi)
+            if n_pad:
+                z = lambda a: np.concatenate(
+                    [a[sl], np.zeros((n_pad, a.shape[1]), a.dtype)])
+                tgt_p = np.concatenate([tgt_i[sl],
+                                        np.full((n_pad, L), PAD_CODE, np.int32)])
+                qual_p = z(qual_i)
+                win_p, opn_p, ext_p, mask_p, prior_p = map(
+                    z, (win, opn, ext, mask, prior))
+            else:
+                tgt_p, qual_p = tgt_i[sl], qual_i[sl]
+                win_p, opn_p, ext_p, mask_p, prior_p = (
+                    win[sl], opn[sl], ext[sl], mask[sl], prior[sl])
+            pending.append((m, pairhmm_scores(
+                tgt_p, qual_p, win_p, opn_p, ext_p, mask_p, prior_p,
+                pad=pad, nuc_prior=cfg.nuc_prior)))
+        scores = np.concatenate([np.asarray(s)[:m] for m, s in pending])
         ln = -LN10_DIV_10 * scores.astype(np.float64)
 
         # flank discount: host traceback for reads overlapping flanks

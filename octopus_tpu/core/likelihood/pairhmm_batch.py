@@ -334,6 +334,97 @@ def pairhmm_scores_pallas_v8(tgtT, qualT, winT, opnT, extT, maskT, priorT, *,
     return out[0]
 
 
+def _pallas_kernel_v9(tgt_ref, qual_ref, win_ref, opn_ref, ext_ref, mask_ref,
+                      prior_ref, pre_ref, out_ref, *, R, pad, nuc_prior):
+    """v8 semantics with a fori_loop wavefront (compile-friendly).
+
+    The unrolled v8 kernel emits ~40 ops per read row (R=160 -> thousands of
+    Mosaic ops): ~3% faster steady-state but minutes of (re)compile per shape
+    bucket, which dominates real runs whenever the compilation cache is cold.
+    This variant trades that 3% for a ~2-op-count program that compiles in
+    seconds; it is the production default.
+    """
+    D = 2 * pad
+    B = out_ref.shape[1]
+
+    def cm_at(y):
+        t = tgt_ref[pl.ds(y - 1, 1), :]
+        q = qual_ref[pl.ds(y - 1, 1), :]
+        w = win_ref[pl.ds(y - 1, D), :]
+        m = mask_ref[pl.ds(y - 1, D), :]
+        p = prior_ref[pl.ds(y - 1, D), :]
+        capped = jnp.where(m == t, jnp.minimum(q, p), q)
+        pen = jnp.where(t == w, 0, capped)
+        return jnp.where(w == N, jnp.minimum(pen, N_SCORE), pen)
+
+    d_odd = (jax.lax.broadcasted_iota(jnp.int32, (D, B), 0) % 2) == 1
+    ZERO = jnp.zeros((D, B), jnp.int32)
+    INFc = jnp.full((D, B), INF, jnp.int32)
+    M0_gap = jnp.where(d_odd, ZERO, INFc)
+    opn0 = _shift_down(opn_ref[0:D, :], INF)
+    pre0 = _shift_down(pre_ref[0:D, :], 0)
+    bv0 = _shift_down(M0_gap, INF) + opn0
+    D0 = _min_scan(bv0 - pre0, D) + pre0
+
+    def step(y, M, M_for_gap, Ii, Dd):
+        cm = cm_at(y)
+        opn_win = opn_ref[pl.ds(y - 1, D), :]
+        ext_win = ext_ref[pl.ds(y - 1, D), :]
+        pre_win = pre_ref[pl.ds(y - 1, D), :]
+        Mn = cm + jnp.minimum(jnp.minimum(M, Ii), Dd)
+        In = nuc_prior + jnp.minimum(
+            _shift_up(M_for_gap, INF) + opn_win,
+            _shift_up(Ii, INF) + ext_win,
+        )
+        bv = _shift_down(jnp.minimum(Mn, In), INF) + opn_win
+        Dn = _min_scan(bv - pre_win, D) + pre_win
+        return Mn, In, Dn
+
+    M, Ii, Dd = step(1, ZERO, M0_gap, INFc, D0)
+
+    def body(y, st):
+        M, Ii, Dd = st
+        return step(y, M, M, Ii, Dd)
+
+    M, Ii, Dd = jax.lax.fori_loop(2, R + 1, body, (M, Ii, Dd))
+    out_ref[0, :] = jnp.min(jnp.minimum(jnp.minimum(M, Ii), Dd), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "nuc_prior", "interpret"))
+def pairhmm_scores_pallas_v9(tgtT, qualT, winT, opnT, extT, maskT, priorT, *,
+                             pad=8, nuc_prior=DEFAULT_NUC_PRIOR,
+                             interpret=False):
+    """Looped-wavefront Pallas scorer, kernel-layout API (see v8 docstring)."""
+    R, B = tgtT.shape
+    D = 2 * pad
+    W = winT.shape[0]
+    assert W == R + 2 * pad - 1, (W, R, pad)
+    BLK = LANES
+    assert B % BLK == 0, B
+    preT = jnp.cumsum(jnp.asarray(extT, jnp.int32), axis=0)
+    kernel = functools.partial(_pallas_kernel_v9, R=R, pad=pad, nuc_prior=nuc_prior)
+
+    def tspec(L):
+        return pl.BlockSpec((L, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        grid=(B // BLK,),
+        in_specs=[tspec(R), tspec(R), tspec(W), tspec(W), tspec(W), tspec(W),
+                  tspec(W), tspec(W)],
+        out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * R * D * B, bytes_accessed=(2 * R + 6 * W) * B * 4,
+            transcendentals=0),
+    )(jnp.asarray(tgtT, jnp.int32), jnp.asarray(qualT, jnp.int32),
+      jnp.asarray(winT, jnp.int32), jnp.asarray(opnT, jnp.int32),
+      jnp.asarray(extT, jnp.int32), jnp.asarray(maskT, jnp.int32),
+      jnp.asarray(priorT, jnp.int32), preT)
+    return out[0]
+
+
 def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                    nuc_prior=DEFAULT_NUC_PRIOR):
     """Dispatch: Pallas v8 on TPU, XLA elsewhere (batch-major inputs).
@@ -347,7 +438,9 @@ def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
             and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
         args = [np.ascontiguousarray(np.asarray(a, np.int32).T)
                 for a in (tgt, qual, win, opn, ext, mask, prior)]
-        return pairhmm_scores_pallas_v8(*args, pad=pad, nuc_prior=nuc_prior)
+        if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1":
+            return pairhmm_scores_pallas_v8(*args, pad=pad, nuc_prior=nuc_prior)
+        return pairhmm_scores_pallas_v9(*args, pad=pad, nuc_prior=nuc_prior)
     return pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior,
                               pad=pad, nuc_prior=nuc_prior)
 
@@ -357,6 +450,7 @@ __all__ = [
     "pairhmm_scores_xla",
     "pairhmm_scores_pallas_v2",
     "pairhmm_scores_pallas_v8",
+    "pairhmm_scores_pallas_v9",
     "PAD_CODE",
     "LANES",
     "INF",

@@ -71,6 +71,10 @@ def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
     G, P = genotypes.shape
     if P == 0 or lnL.shape[1] == 0:
         return np.zeros(G)
+    # tiny reductions are host work: a (G,H)x(H,R) matmul under ~1 MFLOP
+    # costs microseconds in numpy but a full dispatch round trip on device
+    if genotypes.shape[0] * genotypes.shape[1] * lnL.shape[1] < 1_000_000:
+        device = False
     if not device:
         return genotype_log_likelihoods_np(lnL, genotypes)
     H, R = lnL.shape

@@ -76,10 +76,12 @@ class BaiIndex:
         off += 4
         self.bins: list[dict[int, list[tuple[int, int]]]] = []
         self.linear: list[np.ndarray] = []
+        self.mapped: list[int | None] = []    # per-ref mapped count (bin 37450)
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", data, off)
             off += 4
             bins: dict[int, list[tuple[int, int]]] = {}
+            mapped = None
             for _ in range(n_bin):
                 bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
                 off += 8
@@ -88,13 +90,18 @@ class BaiIndex:
                     beg, end = struct.unpack_from("<QQ", data, off)
                     off += 16
                     chunks.append((beg, end))
-                bins[bin_id] = chunks
+                if bin_id == 37450:           # samtools metadata pseudo-bin
+                    if len(chunks) == 2:
+                        mapped = int(chunks[1][0])
+                else:
+                    bins[bin_id] = chunks
             (n_intv,) = struct.unpack_from("<i", data, off)
             off += 4
             ioff = np.frombuffer(data, dtype="<u8", count=n_intv, offset=off).copy()
             off += 8 * n_intv
             self.bins.append(bins)
             self.linear.append(ioff)
+            self.mapped.append(mapped)
 
     @staticmethod
     def region_bins(begin: int, end: int) -> list[int]:

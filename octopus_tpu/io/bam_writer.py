@@ -151,6 +151,9 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
         off += 4 + l_name + 4
     bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
     linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
+    n_mapped = [0] * n_ref
+    n_unmapped = [0] * n_ref
+    ref_span: list[list[int]] = [[0, 0] for _ in range(n_ref)]  # voffset range
     while off + 4 <= len(buf):
         (block_size,) = struct.unpack_from("<i", buf, off)
         if block_size <= 0 or off + 4 + block_size > len(buf):
@@ -159,6 +162,14 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
         rec_end_v = voffset(off + 4 + block_size)
         ref_id, pos = struct.unpack_from("<ii", buf, off + 4)
         if ref_id >= 0:
+            flag = struct.unpack_from("<H", buf, off + 18)[0]
+            if flag & 0x4:
+                n_unmapped[ref_id] += 1
+            else:
+                n_mapped[ref_id] += 1
+            if ref_span[ref_id][0] == 0:
+                ref_span[ref_id][0] = rec_start_v
+            ref_span[ref_id][1] = rec_end_v
             l_read_name = buf[off + 12]
             n_cigar = struct.unpack_from("<H", buf, off + 16)[0]
             cig_off = off + 4 + 32 + l_read_name
@@ -182,11 +193,16 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
     out = bytearray(b"BAI\x01")
     out += struct.pack("<i", n_ref)
     for rid in range(n_ref):
-        out += struct.pack("<i", len(bins[rid]))
+        # samtools-style pseudo-bin 37450 carries (mapped, unmapped) counts;
+        # readers use it for read-budget estimation (propose_windows)
+        out += struct.pack("<i", len(bins[rid]) + 1)
         for b, chunks in sorted(bins[rid].items()):
             out += struct.pack("<Ii", b, len(chunks))
             for beg, cend in chunks:
                 out += struct.pack("<QQ", beg, cend)
+        out += struct.pack("<Ii", 37450, 2)
+        out += struct.pack("<QQ", ref_span[rid][0], ref_span[rid][1])
+        out += struct.pack("<QQ", n_mapped[rid], n_unmapped[rid])
         if linear[rid]:
             n_intv = max(linear[rid]) + 1
             intv = [0] * n_intv

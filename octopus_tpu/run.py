@@ -88,7 +88,15 @@ def _density_profile(bams, contig, begin, end):
         # compressed-offset deltas between bins ~ bytes ~ reads
         coffs = (linear >> 16).astype(np.float64)
         deltas = np.diff(np.concatenate([coffs, [coffs[-1]]]))
-        deltas = np.maximum(deltas, 0) / 100.0   # ~100 compressed bytes/read
+        deltas = np.maximum(deltas, 0)
+        # calibrate bytes/read against the BAI pseudo-bin mapped count when
+        # present (samtools metadata); fall back to ~100 compressed bytes/read
+        n_mapped = bam.index.mapped[rid] if rid < len(bam.index.mapped) else None
+        total = float(deltas.sum())
+        if n_mapped and total > 0:
+            deltas = deltas * (n_mapped / total)
+        else:
+            deltas = deltas / 100.0
         if bins is None:
             bins = deltas
         else:

@@ -97,3 +97,13 @@ def test_pallas_v8_interpret_matches_xla(seed):
     argsT = [np.ascontiguousarray(a.T) for a in batch]
     got = np.asarray(pairhmm_scores_pallas_v8(*argsT, pad=8, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [5, 9])
+def test_pallas_v9_interpret_matches_xla(seed):
+    from octopus_tpu.core.likelihood.pairhmm_batch import pairhmm_scores_pallas_v9
+    batch, cases = make_batch(seed=seed, B=128, rmax=32)
+    want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
+    argsT = [np.ascontiguousarray(a.T) for a in batch]
+    got = np.asarray(pairhmm_scores_pallas_v9(*argsT, pad=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
