@@ -4,7 +4,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value: pair-HMM throughput (read x haplotype pairs scored per second) for
-Illumina-shaped work (R=150, band 8) using the marginal-batch method (the
+Illumina-shaped work (R=150, band 8) on the production kernel (pallas v9,
+looped wavefront; OCTOPUS_TPU_UNROLLED_HMM=1 selects the ~8% faster but
+minutes-slower-to-compile unrolled v8) using the marginal-batch method (the
 difference between two batch sizes removes fixed dispatch/tunnel latency,
 which on this dev box is a ~25 ms stdin-relay round trip that production
 TPU hosts do not pay).
@@ -59,8 +61,10 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
                     ext = jax.random.randint(ks[4], (W, B), 1, 8, jnp.int32)
                     mask = jax.random.randint(ks[5], (W, B), 0, 4, jnp.int32)
                     prior = jax.random.randint(ks[6], (W, B), 3, 40, jnp.int32)
-                    s = pb.pairhmm_scores_pallas_v8(
-                        tgt, qual, win, opn, ext, mask, prior, pad=PAD)
+                    fn = (pb.pairhmm_scores_pallas_v8
+                          if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1"
+                          else pb.pairhmm_scores_pallas_v9)
+                    s = fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD)
                 else:
                     tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)
                     qual = jax.random.randint(ks[1], (B, R), 10, 40, jnp.int32)

@@ -135,6 +135,8 @@ def main():
     # cache, so a cold process would otherwise pay minutes of one-time
     # Mosaic compilation inside the timed region; production hosts amortise
     # this across a whole-genome run)
+    from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
+    warm_kernels(read_lengths=(150,))
     warm = build_parser().parse_args(["-R", fa, "-I", bam,
                                       "-o", os.path.join(tmp, "warm.vcf"),
                                       "-T", "chr1:1-10000"])

@@ -41,6 +41,25 @@ from .error_models import (
 from .kmer_mapper import HaplotypeKmerIndex, read_kmer_hashes
 from .pairhmm_batch import LANES, PAD_CODE, pairhmm_scores
 
+BATCH_LADDER = (LANES, 16 * LANES)      # 128 / 2048 pair lanes
+
+
+def warm_kernels(read_lengths=(150,), pad: int = 8) -> None:
+    """Pre-compile the pair-HMM executables for the given read lengths.
+
+    One launch per (length bucket, batch rung): makes one-time kernel
+    compilation happen at a deterministic point (startup) instead of inside
+    the first calling windows. No-op cost when executables are cached."""
+    for rl in set(read_lengths):
+        L = ((int(rl) + 31) // 32) * 32
+        W = L + 2 * pad - 1
+        for B in BATCH_LADDER:
+            pairhmm_scores(
+                np.zeros((B, L), np.int32), np.zeros((B, L), np.int32),
+                np.zeros((B, W), np.int32), np.full((B, W), 40, np.int32),
+                np.ones((B, W), np.int32), np.full((B, W), PAD_CODE, np.int32),
+                np.zeros((B, W), np.int32), pad=pad)
+
 
 @dataclass
 class LikelihoodConfig:
@@ -341,12 +360,13 @@ class HaplotypeLikelihoodArray:
                                > hl - flank_state.rhs_flank))
                 flank_rows.extend(int(k) for k in hsel[in_flank])
 
-        # batch sizes come from a 3-rung ladder (128/512/2048 lanes) and big
-        # batches launch in 2048-pair chunks: every compiled executable shape
-        # is one of three per length bucket (kernel compiles are expensive on
-        # cold caches), chunk launches are dispatched async and collected at
-        # the end, and transfer volume tracks the real job count
-        ladder = (LANES, 4 * LANES, 16 * LANES)
+        # batch sizes come from a 2-rung ladder and big batches launch in
+        # fixed-size chunks, dispatched async and collected at the end: at
+        # most two compiled executables per read length bucket (kernel
+        # compiles through a cold cache cost minutes — warm_kernels()
+        # pre-compiles every rung), small launches stay cheap, transfers
+        # track real job counts.
+        ladder = BATCH_LADDER
         chunk = ladder[-1]
         tgt_i = tgt.astype(np.int32)
         qual_i = quals.astype(np.int32)
@@ -398,6 +418,8 @@ class HaplotypeLikelihoodArray:
 
 __all__ = [
     "HaplotypeLikelihoodArray",
+    "warm_kernels",
+    "BATCH_LADDER",
     "LikelihoodConfig",
     "FlankState",
 ]

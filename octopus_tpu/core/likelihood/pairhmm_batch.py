@@ -394,7 +394,11 @@ def _pallas_kernel_v9(tgt_ref, qual_ref, win_ref, opn_ref, ext_ref, mask_ref,
 def pairhmm_scores_pallas_v9(tgtT, qualT, winT, opnT, extT, maskT, priorT, *,
                              pad=8, nuc_prior=DEFAULT_NUC_PRIOR,
                              interpret=False):
-    """Looped-wavefront Pallas scorer, kernel-layout API (see v8 docstring)."""
+    """Looped-wavefront Pallas scorer, kernel-layout API (see v8 docstring).
+
+    Inputs may arrive as int8 (all tracks are phred penalties <= 127, the
+    reference's own penalty width, pair_hmm.hpp:68-70): they are widened to
+    int32 on device, so host->device transfer is a quarter the bytes."""
     R, B = tgtT.shape
     D = 2 * pad
     W = winT.shape[0]
@@ -436,10 +440,15 @@ def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     platform = jax.default_backend()
     if (platform == "tpu" and tgt.shape[0] % LANES == 0
             and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
-        args = [np.ascontiguousarray(np.asarray(a, np.int32).T)
-                for a in (tgt, qual, win, opn, ext, mask, prior)]
         if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1":
+            args = [np.ascontiguousarray(np.asarray(a, np.int32).T)
+                    for a in (tgt, qual, win, opn, ext, mask, prior)]
             return pairhmm_scores_pallas_v8(*args, pad=pad, nuc_prior=nuc_prior)
+        # int8 transfer: every track is a base code or a phred penalty; the
+        # reference kernel itself stores penalties as int8
+        args = [np.ascontiguousarray(
+                    np.minimum(np.asarray(a, np.int32), 127).astype(np.int8).T)
+                for a in (tgt, qual, win, opn, ext, mask, prior)]
         return pairhmm_scores_pallas_v9(*args, pad=pad, nuc_prior=nuc_prior)
     return pairhmm_scores_xla(tgt, qual, win, opn, ext, mask, prior,
                               pad=pad, nuc_prior=nuc_prior)
