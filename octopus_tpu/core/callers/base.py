@@ -145,6 +145,9 @@ class CallerBase:
                       default=0.0)
         bad_region_config = BadRegionConfig.from_tolerance(cfg.bad_region_tolerance)
         calls: list[SiteCall] = []
+        # raw (haplotype, read) scores shared between beam pruning rounds and
+        # the final likelihood populate of each region (one window's worth)
+        self._score_cache: dict = {}
         merge_distance = cfg.region_merge_distance
         if merge_distance is None:
             # phasing range: variants joinable by one read (or one fragment
@@ -248,7 +251,8 @@ class CallerBase:
             from ..hapgen.beam import grow_haplotypes_beam
             haplotypes = grow_haplotypes_beam(
                 hap_begin, hap_end, variants, fetch, active,
-                cfg.max_haplotypes, cfg.likelihood)
+                cfg.max_haplotypes, cfg.likelihood,
+                cache=getattr(self, "_score_cache", None))
         else:
             haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants,
                                               fetch, cfg.max_haplotypes)
@@ -268,7 +272,8 @@ class CallerBase:
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         lik = HaplotypeLikelihoodArray(cfg.likelihood)
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
-                     substitution_masks=[h.substitution_mask() for h in haplotypes])
+                     substitution_masks=[h.substitution_mask() for h in haplotypes],
+                     cache=getattr(self, "_score_cache", None))
         matrices = [lik.sample_matrix(s) for s in range(len(active))]
         if cfg.read_linkage in ("paired", "linked"):
             # AlignedTemplate joint scoring: linked reads' log-likelihoods sum

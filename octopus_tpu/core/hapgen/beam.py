@@ -29,6 +29,7 @@ def grow_haplotypes_beam(
     reads_by_sample,
     max_haplotypes: int,
     likelihood_config: LikelihoodConfig | None = None,
+    cache: dict | None = None,
 ) -> list[Haplotype]:
     """Haplotypes over [region_begin, region_end) considering ALL variants."""
     groups = group_exclusive_sites(variants)
@@ -38,7 +39,8 @@ def grow_haplotypes_beam(
         if len(paths) * len(opts) > max_haplotypes and len(paths) > 1:
             keep = max(max_haplotypes // len(opts), 2)
             paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
-                                 reads_by_sample, keep, likelihood_config)
+                                 reads_by_sample, keep, likelihood_config,
+                                 cache)
         new_paths = []
         for p in paths:
             for v in opts:
@@ -51,7 +53,8 @@ def grow_haplotypes_beam(
         paths = new_paths
     if len(paths) > max_haplotypes:
         paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
-                             reads_by_sample, max_haplotypes, likelihood_config)
+                             reads_by_sample, max_haplotypes,
+                             likelihood_config, cache)
     haps = [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
     # sequence-identical paths (e.g. the same indel proposed at two anchors
     # inside a repeat, or equivalent variant compositions) are one haplotype
@@ -68,7 +71,7 @@ def grow_haplotypes_beam(
 
 
 def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
-                 likelihood_config):
+                 likelihood_config, cache=None):
     """Keep the `keep` best-supported paths (reference path protected)."""
     if len(paths) <= keep:
         return paths
@@ -82,7 +85,8 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
     haps = [Haplotype.build(begin, end, p, ref_fetch) for p in paths]
     arr = HaplotypeLikelihoodArray(likelihood_config or LikelihoodConfig())
     arr.populate(reads_by_sample, [h.sequence for h in haps], begin,
-                 substitution_masks=[h.substitution_mask() for h in haps])
+                 substitution_masks=[h.substitution_mask() for h in haps],
+                 cache=cache)
     # score: assignment counts with SPLIT credit on ties (each read divides
     # its vote among the tied paths), tiebroken by total likelihood.  Full
     # credit on ties would let partial paths free-ride on reads they explain

@@ -73,6 +73,8 @@ class HaplotypeGenerator:
             extension_level=self.limits.extension_level))
         self._lagged_paths: list[tuple[Variant, ...]] = [()]
         self._holdout_stack: list[list[Variant]] = []
+        # raw (haplotype, read) score memo shared across pruning rounds
+        self._score_cache: dict = {}
 
     def done(self) -> bool:
         return self._walker.done() and not self._holdout_stack
@@ -152,7 +154,8 @@ class HaplotypeGenerator:
                 keep = max(lim.target // len(opts), 2)
                 paths = _prune_paths(paths, region_begin, region_end,
                                      self.ref_fetch, local_reads,
-                                     keep, self.likelihood_config)
+                                     keep, self.likelihood_config,
+                                     self._score_cache)
             new_paths = []
             for p in paths:
                 for v in opts:
@@ -164,7 +167,8 @@ class HaplotypeGenerator:
         if len(paths) > lim.target:
             paths = _prune_paths(paths, region_begin, region_end,
                                  self.ref_fetch, local_reads,
-                                 lim.target, self.likelihood_config)
+                                 lim.target, self.likelihood_config,
+                                 self._score_cache)
         variants = sorted({v for p in paths for v in p} | set(fresh),
                           key=lambda v: (v.begin, v.end, v.alt))
         haplotypes = [Haplotype.build(region_begin, region_end, p, self.ref_fetch)

@@ -27,6 +27,7 @@ matching the reference bit-for-bit in score space.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+import zlib
 
 import numpy as np
 
@@ -117,11 +118,19 @@ class HaplotypeLikelihoodArray:
         haplotype_begin: int,
         flank_state: FlankState | None = None,
         substitution_masks: list[np.ndarray] | None = None,
+        cache: dict | None = None,
     ) -> "HaplotypeLikelihoodArray":
         """Score every read of every sample against every haplotype.
 
         haplotypes: list of base-code arrays, all laid over the same genomic
         region starting at haplotype_begin.
+
+        cache: optional raw-score memo shared across populate calls of one
+        window (beam prune rounds re-score surviving paths every round, and
+        the final populate re-scores the kept set). Keys are content hashes
+        of (haplotype sequence + offset, read); values the pre-mixture max
+        ln-likelihood. Only consulted when flank_state is None (flank
+        discounting changes raw scores).
         """
         cfg = self.config
         pad = cfg.max_indel_error
@@ -131,11 +140,18 @@ class HaplotypeLikelihoodArray:
             for i, h in enumerate(haplotypes)
         ]
         indices = [HaplotypeKmerIndex(h) for h in haplotypes]
+        if flank_state is not None:
+            cache = None
+        hap_keys = None
+        if cache is not None:
+            hap_keys = [(haplotype_begin, len(h),
+                         zlib.crc32(h.tobytes())) for h in haplotypes]
         self.likelihoods = []
         for batch in reads_by_sample:
             self.likelihoods.append(
                 self._populate_sample(batch, haplotypes, penalties, indices,
-                                      haplotype_begin, flank_state, pad)
+                                      haplotype_begin, flank_state, pad,
+                                      cache, hap_keys)
             )
         return self
 
@@ -157,7 +173,8 @@ class HaplotypeLikelihoodArray:
                                   None, None, None, None)
 
     def _populate_sample(self, batch, haplotypes, penalties, indices,
-                         hap_begin, flank_state, pad):
+                         hap_begin, flank_state, pad, cache=None,
+                         hap_keys=None):
         n_reads = len(batch)
         H = len(haplotypes)
         out = np.full((H, n_reads), -np.inf, dtype=np.float64)
@@ -168,6 +185,18 @@ class HaplotypeLikelihoodArray:
         original = np.maximum(batch.begins - hap_begin, 0)
         is_rev = batch.is_reverse()
 
+        read_keys = None
+        cached_pairs = None
+        if cache is not None:
+            read_keys = [
+                (int(batch.begins[r]), int(lens[r]), int(batch.mapq[r]),
+                 int(batch.flags[r]),
+                 zlib.crc32(batch.sequence(r).tobytes(),
+                            zlib.crc32(batch.qualities(r).tobytes())))
+                for r in range(n_reads)
+            ]
+            cached_pairs = set()
+
         # gather candidate jobs: (hap, read, position)
         job_hap: list[int] = []
         job_read: list[int] = []
@@ -176,6 +205,12 @@ class HaplotypeLikelihoodArray:
             hap_len = len(haplotypes[h])
             anchors = indices[h].map_reads(hashes_flat, hash_offsets)
             for r in range(n_reads):
+                if cache is not None:
+                    hit = cache.get((hap_keys[h], read_keys[r]))
+                    if hit is not None:
+                        out[h, r] = hit
+                        cached_pairs.add((h, r))
+                        continue
                 cand = anchors[r]
                 orig = int(original[r])
                 if orig not in cand:
@@ -219,6 +254,11 @@ class HaplotypeLikelihoodArray:
 
         # reduce: max over candidate positions per (hap, read)
         np.maximum.at(out, (job_hap, job_read), job_ln)
+
+        if cache is not None:
+            for h, r in set(zip(job_hap.tolist(), job_read.tolist())):
+                if (h, r) not in cached_pairs:
+                    cache[(hap_keys[h], read_keys[r])] = out[h, r]
 
         # mapping-quality mixture + clamp
         if self.config.use_mapping_quality:

@@ -112,3 +112,42 @@ def test_perfect_reads_on_their_haplotype_score_zeroish():
     # for error-free reads; just check the matrix is finite and <= 0
     assert np.all(np.isfinite(got))
     assert np.all(got <= 0)
+
+
+def test_score_cache_is_transparent():
+    """populate with a shared cache returns identical matrices, including
+    the subset-then-superset pattern used by beam pruning."""
+    import numpy as np
+    from octopus_tpu.basics.reads import make_read_batch
+    from octopus_tpu.core.likelihood.likelihood_array import (
+        HaplotypeLikelihoodArray, LikelihoodConfig)
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 400).astype(np.uint8)
+    hap1 = ref[100:300].copy()
+    hap2 = hap1.copy(); hap2[100] = (hap2[100] + 1) % 4
+    reads = []
+    for i in range(40):
+        b = int(rng.integers(100, 220))
+        src = hap1 if i % 2 else np.concatenate([ref[100:200], hap2[100:]])
+        r = src[b - 100:b - 100 + 80].copy()
+        if rng.random() < 0.5:
+            r[int(rng.integers(0, 80))] = (r[0] + 1) % 4
+        reads.append((b, "80M", "".join("ACGT"[c] for c in r),
+                      list(rng.integers(20, 40, 80)), 60, 16 if i % 3 else 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    sub = batch.take((batch.begins >= 120) & (batch.ends <= 280))
+    haps = [hap1, hap2]
+    cfg = LikelihoodConfig()
+    cache = {}
+    a1 = HaplotypeLikelihoodArray(cfg).populate([sub], haps, 100, cache=cache)
+    m_sub_cached = a1.sample_matrix(0).copy()
+    a2 = HaplotypeLikelihoodArray(cfg).populate([batch], haps, 100, cache=cache)
+    m_full_cached = a2.sample_matrix(0).copy()
+    assert len(cache) > 0
+    b1 = HaplotypeLikelihoodArray(cfg).populate([sub], haps, 100)
+    b2 = HaplotypeLikelihoodArray(cfg).populate([batch], haps, 100)
+    np.testing.assert_array_equal(m_sub_cached, b1.sample_matrix(0))
+    np.testing.assert_array_equal(m_full_cached, b2.sample_matrix(0))
+    # second cached populate is a pure replay
+    a3 = HaplotypeLikelihoodArray(cfg).populate([batch], haps, 100, cache=cache)
+    np.testing.assert_array_equal(a3.sample_matrix(0), m_full_cached)
