@@ -1,6 +1,7 @@
 """Repeat-context indel mutation model (IndelMutationModel parity)."""
 
 import numpy as np
+import pytest
 
 from octopus_tpu.basics.sequence import encode_sequence
 from octopus_tpu.core.models.indel_mutation import (ContextIndelModel,
@@ -74,3 +75,50 @@ def test_indel_probability_decays_out_of_tract():
     p1 = m.indel_probability(25, 1)
     p4 = m.indel_probability(25, 4)
     assert p4 < p1
+
+
+class TestDeNovoSequencePath:
+    """HMM-scored arbitrary-sequence de novo probabilities
+    (denovo_model.cpp evaluate_uncached / recalculate_log_probability)."""
+
+    def _model(self):
+        from octopus_tpu.core.models.denovo import DeNovoModel
+        return DeNovoModel()
+
+    def test_identical_and_snv(self):
+        import math
+        rng = np.random.default_rng(1)
+        parent = rng.integers(0, 4, 120).astype(np.uint8)
+        m = self._model()
+        assert m.ln_probability_sequences(parent, parent) == 0.0
+        child = parent.copy(); child[60] = (child[60] + 1) % 4
+        got = m.ln_probability_sequences(child, parent)
+        assert got == pytest.approx(math.log(1.3e-8))
+
+    def test_indel_scores_and_ordering(self):
+        rng = np.random.default_rng(2)
+        parent = rng.integers(0, 4, 150).astype(np.uint8)
+        m = self._model()
+        del2 = np.concatenate([parent[:50], parent[52:]])
+        del5 = np.concatenate([parent[:50], parent[55:]])
+        p2 = m.ln_probability_sequences(del2, parent)
+        p5 = m.ln_probability_sequences(del5, parent)
+        assert p2 < 0 and p5 < p2          # longer indel less probable
+        # >= band length difference takes the global-alignment fallback
+        del20 = np.concatenate([parent[:50], parent[70:]])
+        p20 = m.ln_probability_sequences(del20, parent)
+        assert np.isfinite(p20) and p20 < p5
+
+    def test_repeat_context_enrichment(self):
+        """An indel inside a long STR is more probable than in unique seq."""
+        m = self._model()
+        rng = np.random.default_rng(3)
+        flank = rng.integers(0, 4, 50).astype(np.uint8)
+        str_parent = np.concatenate([flank, np.tile([0, 1], 10).astype(np.uint8),
+                                     flank[::-1]])
+        del_in_str = np.concatenate([str_parent[:52], str_parent[54:]])
+        p_str = m.ln_probability_sequences(del_in_str, str_parent)
+        uniq_parent = rng.integers(0, 4, len(str_parent)).astype(np.uint8)
+        del_in_uniq = np.concatenate([uniq_parent[:52], uniq_parent[54:]])
+        p_uniq = m.ln_probability_sequences(del_in_uniq, uniq_parent)
+        assert p_str > p_uniq
