@@ -44,6 +44,13 @@ from .pairhmm_batch import LANES, PAD_CODE, pairhmm_scores
 
 BATCH_LADDER = (LANES, 16 * LANES)      # 128 / 2048 pair lanes
 
+# process-wide memos for per-haplotype derived state (penalty tracks, k-mer
+# indices), keyed by sequence content; FIFO-capped. Read-only values, safe
+# to share across threads/windows.
+_PENALTY_CACHE: dict = {}
+_KMER_INDEX_CACHE: dict = {}
+_CACHE_MAX = 8192
+
 
 def warm_kernels(read_lengths=(150,), pad: int = 8) -> None:
     """Pre-compile the pair-HMM executables for the given read lengths.
@@ -139,7 +146,7 @@ class HaplotypeLikelihoodArray:
             self._haplotype_penalties(h, None if substitution_masks is None else substitution_masks[i])
             for i, h in enumerate(haplotypes)
         ]
-        indices = [HaplotypeKmerIndex(h) for h in haplotypes]
+        indices = [self._kmer_index(h) for h in haplotypes]
         if flank_state is not None:
             cache = None
         hap_keys = None
@@ -160,17 +167,43 @@ class HaplotypeLikelihoodArray:
 
     # -- internals ---------------------------------------------------------
 
+    @staticmethod
+    def _kmer_index(codes: np.ndarray) -> HaplotypeKmerIndex:
+        key = (len(codes), zlib.crc32(codes.tobytes()))
+        hit = _KMER_INDEX_CACHE.get(key)
+        if hit is not None:
+            return hit
+        idx = HaplotypeKmerIndex(codes)
+        if len(_KMER_INDEX_CACHE) >= _CACHE_MAX:
+            _KMER_INDEX_CACHE.pop(next(iter(_KMER_INDEX_CACHE)))
+        _KMER_INDEX_CACHE[key] = idx
+        return idx
+
     def _haplotype_penalties(self, codes: np.ndarray, subst_mask) -> HaplotypePenalties:
+        # penalty tracks depend only on (error model, sequence, subst mask):
+        # beam prune rounds and the final populate see the same haplotypes
+        # over and over, and the error-model evaluation (tandem scan + table
+        # lookups) is the single largest host cost without this memo
+        key = (self.config.error_model, len(codes), zlib.crc32(codes.tobytes()),
+               -1 if subst_mask is None else zlib.crc32(subst_mask.tobytes()))
+        hit = _PENALTY_CACHE.get(key)
+        if hit is not None:
+            return hit
         indel = self._indel_model.set_penalties(codes)
         if self._snv_model is not None:
             snv = self._snv_model.evaluate(codes, subst_mask)
-            return HaplotypePenalties(
+            result = HaplotypePenalties(
                 codes, indel.gap_open, indel.gap_extend,
                 snv.forward_mask, snv.forward_priors,
                 snv.reverse_mask, snv.reverse_priors,
             )
-        return HaplotypePenalties(codes, indel.gap_open, indel.gap_extend,
-                                  None, None, None, None)
+        else:
+            result = HaplotypePenalties(codes, indel.gap_open, indel.gap_extend,
+                                        None, None, None, None)
+        if len(_PENALTY_CACHE) >= _CACHE_MAX:
+            _PENALTY_CACHE.pop(next(iter(_PENALTY_CACHE)))
+        _PENALTY_CACHE[key] = result
+        return result
 
     def _populate_sample(self, batch, haplotypes, penalties, indices,
                          hap_begin, flank_state, pad, cache=None,
