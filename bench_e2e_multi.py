@@ -1,0 +1,279 @@
+"""End-to-end accuracy benchmarks for the multi-sample callers.
+
+Synthetic BAM(s) -> CLI -> VCF for the remaining BASELINE benchmark config
+families (BASELINE.md): population (3-sample joint germline), trio (de novo
+detection with -M/-F), and cancer (tumour-normal somatic calling with
+--normal-sample).
+
+Usage: python bench_e2e_multi.py [trio|cancer|population|all] [kb=100] [depth=30]
+Prints one JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from bench_e2e import flatten_haplotype, write_reference, write_sample_bam
+
+
+def _mutate(haps, pos, kind, members, seq):
+    for m in members:
+        if kind[0] == "snv":
+            haps[m][pos] = kind[1]
+        elif kind[0] == "del":
+            for k in range(kind[1]):
+                haps[m][pos + k] = ""
+        else:
+            haps[m][pos] = seq[pos] + kind[1]
+
+
+def _random_variant(rng, seq, pos):
+    if rng.random() < 0.15:
+        size = int(rng.integers(1, 6))
+        if rng.random() < 0.5:
+            return ("del", size)
+        return ("ins", "".join("ACGT"[c] for c in rng.integers(0, 4, size)))
+    base = seq[pos]
+    return ("snv", "ACGT"[("ACGT".index(base) + int(rng.integers(1, 4))) % 4])
+
+
+def _make_seq(rng, n):
+    return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+
+
+def _run_cli(fa, bams, out, extra, timeout=3600):
+    cmd = [sys.executable, "-m", "octopus_tpu.cli", "-R", fa, "-I", *bams,
+           "-o", out, "-T", "chr1", "--threads", "4", *extra]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+
+
+def _pass_records(vcf):
+    from octopus_tpu.io.vcf import VcfReader
+    return [r for r in VcfReader(vcf).records()
+            if r.alts and r.filters == ["PASS"]]
+
+
+def _near(pos_set, p, tol=5):
+    return any(abs(p - q) <= tol for q in pos_set)
+
+
+def bench_trio(kb=100, depth=30, seed=5):
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = _make_seq(rng, n)
+    tmp = tempfile.mkdtemp()
+    fa = write_reference(tmp, seq)
+    mom = [list(seq), list(seq)]
+    dad = [list(seq), list(seq)]
+    germline = set()
+    pos = 1500
+    while pos < n - 1500:
+        pos += int(rng.integers(900, 2400))
+        if pos >= n - 1500:
+            break
+        kind = _random_variant(rng, seq, pos)
+        carrier = mom if rng.random() < 0.5 else dad
+        members = (0, 1) if rng.random() < 0.3 else (int(rng.random() < 0.5),)
+        _mutate(carrier, pos, kind, members, seq)
+        germline.add(pos)
+    # child: haplotype 0 from mom (her hap 0), haplotype 1 from dad (his hap 1)
+    kid = [list(mom[0]), list(dad[1])]
+    denovo = set()
+    for _ in range(10):
+        pos = int(rng.integers(2000, n - 2000))
+        if _near(germline, pos, 50) or _near(denovo, pos, 50):
+            continue
+        base = seq[pos]
+        alt = "ACGT"[("ACGT".index(base) + 1) % 4]
+        kid[int(rng.random() < 0.5)][pos] = alt
+        denovo.add(pos)
+    bams = [write_sample_bam(tmp, s_, h, n, depth, 150, rng)
+            for s_, h in (("MOM", mom), ("DAD", dad), ("KID", kid))]
+    out = os.path.join(tmp, "trio.vcf")
+    t0 = time.time()
+    _run_cli(fa, bams, out, ["-M", "MOM", "-F", "DAD"])
+    wall = time.time() - t0
+    recs = _pass_records(out)
+    dn_called = {r.pos - 1 for r in recs if r.info.get("DENOVO")}
+    other_called = {r.pos - 1 for r in recs if not r.info.get("DENOVO")}
+    tp = sum(1 for p in denovo if _near(dn_called, p))
+    fp = sum(1 for p in dn_called if not _near(denovo, p))
+    germ_tp = sum(1 for p in germline if _near(other_called | dn_called, p))
+    return {
+        "metric": "e2e_trio_denovo", "kb": kb, "depth": depth,
+        "wall_s": round(wall, 1),
+        "n_denovo": len(denovo), "denovo_recall": round(tp / len(denovo), 4),
+        "denovo_fp": fp,
+        "germline_recall": round(germ_tp / max(len(germline), 1), 4),
+    }
+
+
+def bench_cancer(kb=100, depth=60, seed=7, vaf=0.25):
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = _make_seq(rng, n)
+    tmp = tempfile.mkdtemp()
+    fa = write_reference(tmp, seq)
+    normal = [list(seq), list(seq)]
+    germline = set()
+    pos = 1500
+    while pos < n - 1500:
+        pos += int(rng.integers(1200, 3000))
+        if pos >= n - 1500:
+            break
+        kind = _random_variant(rng, seq, pos)
+        _mutate(normal, pos, kind,
+                (0, 1) if rng.random() < 0.3 else (int(rng.random() < 0.5),),
+                seq)
+        germline.add(pos)
+    # tumour: clone carrying somatic SNVs on one haplotype, mixed with normal
+    clone = [list(normal[0]), list(normal[1])]
+    somatic = set()
+    for _ in range(14):
+        pos = int(rng.integers(2000, n - 2000))
+        if _near(germline, pos, 50) or _near(somatic, pos, 50):
+            continue
+        base = seq[pos]
+        clone[0][pos] = "ACGT"[("ACGT".index(base) + 2) % 4]
+        somatic.add(pos)
+    bam_n = write_sample_bam(tmp, "NORMAL", normal, n, depth // 2, 150, rng)
+    # tumour reads: fraction 2*vaf of reads from the clone pair (clone hap 0
+    # carries the somatics -> expected somatic VAF = vaf)
+    from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+    from bench_e2e import read_from_flat
+    flats_n = [flatten_haplotype(h) for h in normal]
+    flats_c = [flatten_haplotype(h) for h in clone]
+    n_reads = int(n * depth / 150)
+    reads = []
+    for i in range(n_reads):
+        if rng.random() < 2 * vaf:
+            hap, refc = flats_c[i % 2]
+        else:
+            hap, refc = flats_n[i % 2]
+        begin = int(rng.integers(0, len(hap) - 150))
+        r = read_from_flat(hap, refc, begin, 150, rng)
+        if r is None:
+            continue
+        p, cig, s = r
+        reads.append((p, cig, s, [37] * 150, 60, FLAG_REVERSE if i % 3 == 0 else 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    bam_t = os.path.join(tmp, "TUMOUR.bam")
+    with BamWriter(bam_t, ["chr1"], [n], samples=["TUMOUR"]) as w:
+        w.write_batch(batch, sample="TUMOUR")
+    build_bai(bam_t)
+    out = os.path.join(tmp, "cancer.vcf")
+    t0 = time.time()
+    _run_cli(fa, [bam_n, bam_t], out, ["--caller", "cancer",
+                                       "--normal-sample", "NORMAL"])
+    wall = time.time() - t0
+    recs = _pass_records(out)
+    som_called = {r.pos - 1 for r in recs if r.info.get("SOMATIC")}
+    tp = sum(1 for p in somatic if _near(som_called, p))
+    fp = sum(1 for p in som_called if not _near(somatic, p))
+    return {
+        "metric": "e2e_cancer_somatic", "kb": kb, "depth": depth, "vaf": vaf,
+        "wall_s": round(wall, 1),
+        "n_somatic": len(somatic),
+        "somatic_recall": round(tp / len(somatic), 4),
+        "somatic_fp": fp,
+    }
+
+
+def bench_population(kb=100, depth=30, seed=9, n_samples=3):
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = _make_seq(rng, n)
+    tmp = tempfile.mkdtemp()
+    fa = write_reference(tmp, seq)
+    samples = [[list(seq), list(seq)] for _ in range(n_samples)]
+    truth: dict[int, list[list[int]]] = {}
+    pos = 1500
+    while pos < n - 1500:
+        pos += int(rng.integers(900, 2400))
+        if pos >= n - 1500:
+            break
+        kind = _random_variant(rng, seq, pos)
+        af = rng.choice([0.17, 0.33, 0.5, 0.83])
+        gts = []
+        any_alt = False
+        for s_ in range(n_samples):
+            gt = [int(rng.random() < af), int(rng.random() < af)]
+            if any(gt):
+                any_alt = True
+            gts.append(gt)
+        if not any_alt:
+            gts[int(rng.integers(0, n_samples))][0] = 1
+        for s_, gt in enumerate(gts):
+            members = tuple(h for h in (0, 1) if gt[h])
+            if members:
+                _mutate(samples[s_], pos, kind, members, seq)
+        truth[pos] = gts
+    bams = [write_sample_bam(tmp, f"S{i}", h, n, depth, 150, rng)
+            for i, h in enumerate(samples)]
+    out = os.path.join(tmp, "pop.vcf")
+    t0 = time.time()
+    _run_cli(fa, bams, out, ["--caller", "population"])
+    wall = time.time() - t0
+    recs = _pass_records(out)
+    called = {r.pos - 1 for r in recs} | {r.pos for r in recs}
+    tp = sum(1 for p in truth if _near(called, p))
+    fp = sum(1 for r in recs
+             if not _near(set(truth), r.pos - 1) and not _near(set(truth), r.pos))
+    # genotype concordance at matched sites
+    gt_ok = gt_tot = 0
+    truth_pos = sorted(truth)
+    for r in recs:
+        p0 = r.pos - 1
+        match = [q for q in truth_pos if abs(q - p0) <= 5]
+        if not match:
+            continue
+        gts = truth[match[0]]
+        for s_, sv in enumerate(r.sample_values[:len(gts)]):
+            gt_str = sv.get("GT", ".").replace("|", "/")
+            try:
+                got = sorted(int(x) > 0 for x in gt_str.split("/"))
+            except ValueError:
+                continue
+            gt_tot += 1
+            gt_ok += got == sorted(bool(x) for x in gts[s_])
+    return {
+        "metric": "e2e_population_joint", "kb": kb, "depth": depth,
+        "n_samples": n_samples, "wall_s": round(wall, 1),
+        "n_truth": len(truth),
+        "recall": round(tp / max(len(truth), 1), 4),
+        "fp": fp,
+        "gt_concordance": round(gt_ok / max(gt_tot, 1), 4),
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    kb = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
+    from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
+    warm_kernels((150,))
+    runs = {
+        "trio": lambda: bench_trio(kb, depth),
+        "cancer": lambda: bench_cancer(kb, max(depth, 60)),
+        "population": lambda: bench_population(kb, depth),
+    }
+    for name, fn in runs.items():
+        if mode not in ("all", name):
+            continue
+        print(json.dumps(fn()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

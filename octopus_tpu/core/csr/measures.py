@@ -283,8 +283,17 @@ def _side_bias(offsets: list) -> float:
 def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
                      ref_codes=None, ref_begin: int = 0,
                      pipe_report=None, normal_batch: ReadBatch | None = None,
-                     phase_length: int | None = None) -> dict:
-    """The full measure dict for one SiteCall against the sample's reads."""
+                     phase_length: int | None = None,
+                     reads_by_sample: list | None = None) -> dict:
+    """The full measure dict for one SiteCall against the sample's reads.
+
+    With `reads_by_sample` (parallel to call.genotypes), the allele-support
+    measures (AF/AFB/AD/ADP/BQ) are evaluated per CARRIER sample against that
+    sample's own genotype and reads and aggregated with min-tail, as the
+    reference does (allele_frequency_bias.cpp do_aggregator min_tail):
+    pooled-read AF against sample 0's genotype mislabels every multi-sample
+    call whose carriers differ from sample 0.
+    """
     v = call.alts[0]
     ctx = site_context(batch, v.begin, v.end, v.alt_codes,
                        v.is_insertion(), v.is_deletion(),
@@ -337,6 +346,36 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
         out["SD"] = 1.0 - sps.binomtest(ctx.fwd_depth, depth, 0.5).pvalue
     else:
         out["SD"] = 0.0
+    # multi-sample: allele-support measures per carrier sample, min-tail
+    if (reads_by_sample is not None and call.genotypes
+            and len(call.genotypes) > 1):
+        per = []
+        for s, sgt in enumerate(call.genotypes):
+            if s >= len(reads_by_sample) or not sgt or not any(a > 0 for a in sgt):
+                continue
+            sctx = site_context(reads_by_sample[s], v.begin, v.end,
+                                v.alt_codes, v.is_insertion(), v.is_deletion(),
+                                ref_codes, ref_begin)
+            af = (sctx.alt_depth / sctx.assigned_depth
+                  if sctx.assigned_depth else 0.0)
+            exp = sum(1 for a in sgt if a > 0) / len(sgt)
+            entry = {"AF": af, "AFB": abs(af - exp), "AD": sctx.alt_depth,
+                     "ADP": sctx.assigned_depth}
+            if not v.is_indel() and sctx.alt_base_qualities:
+                entry["BQ"] = float(np.median(sctx.alt_base_qualities))
+            if len(set(sgt)) > 1:     # het carrier (strand_bias.cpp is_evaluable)
+                entry["SB"] = _strand_bias_prob(
+                    sctx.alt_forward, sctx.alt_reverse,
+                    max(sctx.fwd_depth - sctx.alt_forward, 0),
+                    max(sctx.rev_depth - sctx.alt_reverse, 0))
+            per.append(entry)
+        if per:
+            for k in ("AF", "AFB", "AD", "ADP"):
+                out[k] = min(e[k] for e in per)
+            bqs = [e["BQ"] for e in per if "BQ" in e]
+            out["BQ"] = min(bqs) if bqs else None
+            sbs = [e["SB"] for e in per if "SB" in e]
+            out["SB"] = max(sbs) if sbs else None
     out["FRF"] = (1.0 - pipe_report.n_downsampled / pipe_report.n_raw
                   if pipe_report and pipe_report.n_raw else 0.0)
     out["CRF"] = ctx.clipped / depth if depth else 0.0

@@ -482,7 +482,8 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             measures = compute_measures(
                 call, merged,
                 ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
-                ref_begin=ref_lo, pipe_report=window_report)
+                ref_begin=ref_lo, pipe_report=window_report,
+                reads_by_sample=batches_by_sample)
             failed = csr.classify(measures,
                                   somatic=bool(call.info.get("SOMATIC")),
                                   denovo=bool(call.info.get("DENOVO")))
