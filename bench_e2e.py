@@ -83,7 +83,7 @@ def write_sample_bam(tmp, name, hap_pieces_pair, n_ref, depth, read_len, rng):
             continue
         pos, cig, s = r
         reads.append((pos, cig, s, [37] * read_len, 60,
-                      FLAG_REVERSE if i % 3 == 0 else 0))
+                      FLAG_REVERSE if rng.random() < 0.5 else 0))
     batch = make_read_batch("chr1", reads).sorted_by_begin()
     bam = os.path.join(tmp, f"{name}.bam")
     with BamWriter(bam, ["chr1"], [n_ref], samples=[name]) as w:

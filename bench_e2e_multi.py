@@ -166,7 +166,8 @@ def bench_cancer(kb=100, depth=60, seed=7, vaf=0.25):
         if r is None:
             continue
         p, cig, s = r
-        reads.append((p, cig, s, [37] * 150, 60, FLAG_REVERSE if i % 3 == 0 else 0))
+        reads.append((p, cig, s, [37] * 150, 60,
+                      FLAG_REVERSE if rng.random() < 0.5 else 0))
     batch = make_read_batch("chr1", reads).sorted_by_begin()
     bam_t = os.path.join(tmp, "TUMOUR.bam")
     with BamWriter(bam_t, ["chr1"], [n], samples=["TUMOUR"]) as w:

@@ -45,6 +45,15 @@ class CancerCallerConfig(BaseCallerConfig):
     min_somatic_posterior_phred: float = 2.0
     somatic_snv_prior: float = 1e-4
     somatic_indel_prior: float = 1e-5
+    # Dirichlet concentrations per model and sample role
+    # (cancer_caller.hpp:43-56 Concentrations defaults): the CNV model's
+    # normal concentration of 50 pins the normal's weights near uniform —
+    # a normal sample cannot explain skewed allele fractions, which is what
+    # lets the somatic model win on true somatics
+    cnv_normal_concentration: float = 50.0
+    cnv_tumour_concentration: float = 0.5
+    somatic_normal_germline_concentration: float = 50.0
+    somatic_normal_somatic_concentration: float = 0.05
     tumour_germline_concentration: float = 1.5
     somatic_concentration: float = 1.0
     max_genotypes: int = 500
@@ -64,10 +73,12 @@ class CancerCaller(CallerBase):
         likelihoods = np.stack([
             genotype_log_likelihoods_np(ctx.lnL[s], genotypes)
             for s in range(n_samples)])                      # (S, G)
-        # cap genotype space by joint score
-        if len(genotypes) > cfg.max_genotypes:
+        # cap genotype space by joint score (CLI --max-genotypes is optional
+        # in the reference, option_parser.cpp:546; None = internal default)
+        max_genotypes = cfg.max_genotypes if cfg.max_genotypes is not None else 500
+        if len(genotypes) > max_genotypes:
             order = np.argsort(log_priors + likelihoods.sum(axis=0))[::-1]
-            keep = np.sort(order[:cfg.max_genotypes])
+            keep = np.sort(order[:max_genotypes])
             genotypes, log_priors = genotypes[keep], log_priors[keep]
             likelihoods = likelihoods[:, keep]
         G = len(genotypes)
@@ -79,10 +90,12 @@ class CancerCaller(CallerBase):
 
         # -- CNV model: free weights over the genotype's haplotypes --------
         vb = SubcloneModel(n_seeds=2, n_iter=40)
-        cnv_conc = np.full(cfg.ploidy, cfg.tumour_germline_concentration, np.float32)
         cnv_ev_by_g = np.zeros(G)
         for s in range(n_samples):
-            inf = vb.evaluate(genotypes, ctx.lnL[s], alpha0_vec=cnv_conc)
+            conc = (cfg.cnv_normal_concentration if s == cfg.normal_sample
+                    else cfg.cnv_tumour_concentration)
+            inf = vb.evaluate(genotypes, ctx.lnL[s],
+                              alpha0_vec=np.full(cfg.ploidy, conc, np.float32))
             cnv_ev_by_g += inf.genotype_log_evidences
         cnv_joint = log_priors + cnv_ev_by_g
         cnv_ev = logsumexp(cnv_joint)
@@ -109,18 +122,19 @@ class CancerCaller(CallerBase):
         somatic_post = None
         if cancer_tuples:
             tuples = np.asarray(cancer_tuples)
-            conc = np.concatenate([
+            conc_tumour = np.concatenate([
                 np.full(cfg.ploidy, cfg.tumour_germline_concentration),
                 [cfg.somatic_concentration]]).astype(np.float32)
+            # the normal sample is evaluated under the same tuple with the
+            # somatic component pinned near zero weight (concentration 0.05)
+            conc_normal = np.concatenate([
+                np.full(cfg.ploidy, cfg.somatic_normal_germline_concentration),
+                [cfg.somatic_normal_somatic_concentration]]).astype(np.float32)
             som_ev_by_t = np.zeros(len(tuples))
             for s in range(n_samples):
-                if s == cfg.normal_sample:
-                    # normal sample: somatic haplotype should be (near) absent;
-                    # use germline likelihood of the genotype part
-                    som_ev_by_t += likelihoods[s][[m[0] for m in cancer_meta]]
-                else:
-                    inf = vb.evaluate(tuples, ctx.lnL[s], alpha0_vec=conc)
-                    som_ev_by_t += inf.genotype_log_evidences
+                conc = conc_normal if s == cfg.normal_sample else conc_tumour
+                inf = vb.evaluate(tuples, ctx.lnL[s], alpha0_vec=conc)
+                som_ev_by_t += inf.genotype_log_evidences
             somatic_joint = np.asarray(cancer_prior) + som_ev_by_t
             somatic_ev = logsumexp(somatic_joint)
             somatic_post = np.exp(somatic_joint - somatic_ev)
@@ -192,7 +206,12 @@ class CancerCaller(CallerBase):
         for si, group in enumerate(site_groups):
             hap_allele = site_alleles[si]
             if info.get("SOMATIC"):
-                gts = [[0, 0, 1]] * n_samples      # presentation only
+                # tumour samples carry the somatic allele as an extra ploidy
+                # slot; the normal sample does NOT (it has only the germline
+                # genotype) — both for VCF semantics and so carrier-sample
+                # measures (AD/AF) are evaluated against tumour reads only
+                gts = [[0, 0] if s == self.config.normal_sample else [0, 0, 1]
+                       for s in range(n_samples)]
                 gqs = [quality_of[group[0]]] * n_samples
             else:
                 gt = [int(hap_allele[h]) for h in map_genotype]

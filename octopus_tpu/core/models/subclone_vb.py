@@ -26,20 +26,27 @@ from .individual import logsumexp
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
-def _vb_single(lnl_kn, alpha0, resp_init, n_iter=50):
+def _vb_single(lnl_kn, alpha0, resp_init, n_iter=50, mask_n=None):
     """One VB run. lnl_kn: (K, N); alpha0/resp_init: (K,), (N, K).
+
+    mask_n (N,) float 1/0 marks real reads: padded read rows contribute
+    nothing to responsibilities sums or the ELBO, so data-dependent read
+    counts can be bucketed to a fixed N without changing results.
 
     Returns (elbo, alpha, responsibilities)."""
     K, N = lnl_kn.shape
+    if mask_n is None:
+        mask_n = jnp.ones(N, jnp.float32)
 
     def step(_, state):
         resp, alpha = state
         e_ln_w = digamma(alpha) - digamma(alpha.sum())
         logits = e_ln_w[None, :] + lnl_kn.T            # (N, K)
-        resp = jax.nn.softmax(logits, axis=1)
+        resp = jax.nn.softmax(logits, axis=1) * mask_n[:, None]
         alpha = alpha0 + resp.sum(axis=0)
         return resp, alpha
 
+    resp_init = resp_init * mask_n[:, None]
     resp, alpha = jax.lax.fori_loop(0, n_iter, step, (resp_init, alpha0 + resp_init.sum(axis=0)))
     e_ln_w = digamma(alpha) - digamma(alpha.sum())
     # ELBO
@@ -80,21 +87,39 @@ class SubcloneModel:
         N = lnL.shape[1]
         if alpha0_vec is None:
             alpha0_vec = np.full(K, self.alpha0, np.float32)
-        lnl_gkn = jnp.asarray(lnL, jnp.float32)[jnp.asarray(tuples)]      # (G, K, N)
+        # bucket the data-dependent dims (reads via an exact mask, genotype
+        # rows are independent under vmap) so every region reuses a small
+        # set of compiled programs instead of recompiling per (G, N)
+        Np = 8
+        while Np < N:
+            Np *= 2
+        Gp = 1
+        while Gp < G:
+            Gp *= 2
+        lnL_pad = np.zeros((lnL.shape[0], Np), np.float32)
+        lnL_pad[:, :N] = lnL
+        tuples_pad = np.concatenate(
+            [tuples, np.repeat(tuples[:1], Gp - G, axis=0)]) if Gp != G else tuples
+        mask = np.zeros(Np, np.float32)
+        mask[:N] = 1.0
+        lnl_gkn = jnp.asarray(lnL_pad)[jnp.asarray(tuples_pad)]           # (Gp, K, Np)
         # seeds: uniform + one-hot biased responsibility inits
         rng = np.random.default_rng(0)
-        seeds = [np.full((N, K), 1.0 / K, np.float32)]
+        seeds = [np.full((Np, K), 1.0 / K, np.float32)]
         for s in range(self.n_seeds - 1):
-            r = rng.dirichlet(np.ones(K), size=N).astype(np.float32)
+            r = rng.dirichlet(np.ones(K), size=Np).astype(np.float32)
             seeds.append(r)
-        seeds = jnp.asarray(np.stack(seeds))                              # (S, N, K)
+        seeds = jnp.asarray(np.stack(seeds))                              # (S, Np, K)
         a0 = jnp.asarray(alpha0_vec, jnp.float32)
+        mask_j = jnp.asarray(mask)
 
         run = jax.vmap(jax.vmap(
-            lambda lnl, r0: _vb_single(lnl, a0, r0, n_iter=self.n_iter),
+            lambda lnl, r0: _vb_single(lnl, a0, r0, n_iter=self.n_iter,
+                                       mask_n=mask_j),
             in_axes=(None, 0)), in_axes=(0, None))
-        elbos, alphas, _ = run(lnl_gkn, seeds)                            # (G, S), (G, S, K)
-        elbos = np.asarray(elbos, np.float64)
+        elbos, alphas, _ = run(lnl_gkn, seeds)                            # (Gp, S), (Gp, S, K)
+        elbos = np.asarray(elbos, np.float64)[:G]
+        alphas = jnp.asarray(alphas)[:G]
         best_seed = np.argmax(elbos, axis=1)
         gle = elbos[np.arange(G), best_seed]
         map_alphas = np.asarray(alphas)[np.arange(G), best_seed]

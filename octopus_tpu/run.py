@@ -185,6 +185,15 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
         fields = {f.name: getattr(base_config, f.name)
                   for f in dataclasses.fields(type(base_config))}
         fields.update(extra)
+        # optional CLI ints arrive as None (the reference leaves them
+        # unset, option_parser.cpp:546): keep the caller's own default
+        # rather than overriding it with None
+        defaults = {f.name: f.default for f in dataclasses.fields(cls)
+                    if f.default is not dataclasses.MISSING}
+        for name, val in list(fields.items()):
+            if val is None and defaults.get(name) is not None \
+                    and name in defaults:
+                fields[name] = defaults[name]
         return cls(**fields)
 
     def arg(name, default=None):
