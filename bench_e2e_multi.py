@@ -49,12 +49,15 @@ def _make_seq(rng, n):
 
 
 def _run_cli(fa, bams, out, extra, timeout=3600):
-    cmd = [sys.executable, "-m", "octopus_tpu.cli", "-R", fa, "-I", *bams,
-           "-o", out, "-T", "chr1", "--threads", "4", *extra]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
-    if r.returncode != 0:
-        raise RuntimeError(r.stderr[-2000:])
+    """Drive the real CLI argument path in-process: one process shares the
+    per-shape kernel compilations across all benchmark modes (a subprocess
+    would re-pay minutes of Mosaic compilation per mode on this host's
+    cacheless remote compile service)."""
+    from octopus_tpu.cli import build_parser
+    from octopus_tpu.run import run_calling
+    args = build_parser().parse_args(["-R", fa, "-I", *bams, "-o", out,
+                                      "-T", "chr1", "--threads", "4", *extra])
+    run_calling(args)
 
 
 def _pass_records(vcf):

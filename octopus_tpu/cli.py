@@ -23,7 +23,8 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     from .logging_.progress import init_logging
-    init_logging(debug=bool(args.debug), trace=bool(args.trace))
+    init_logging(debug=bool(args.debug), trace=bool(args.trace),
+                 log_file=args.trace or args.debug)
     if getattr(args, "filter_vcf", None):
         from .csr_run import run_filter_vcf
         return run_filter_vcf(args)

@@ -10,10 +10,15 @@ cancer, polyclone, cell.
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from ...logging_.progress import TRACE
+
+_log = logging.getLogger("octopus_tpu")
 
 from ...basics.phred import LN10_DIV_10
 from ...basics.reads import ReadBatch
@@ -148,6 +153,13 @@ class CallerBase:
         # raw (haplotype, read) scores shared between beam pruning rounds and
         # the final likelihood populate of each region (one window's worth)
         self._score_cache: dict = {}
+        if _log.isEnabledFor(logging.DEBUG):
+            _log.debug("window %s:%d-%d: %d reads, %d candidates",
+                       self.contig, region_begin, region_end,
+                       sum(len(b) for b in reads_by_sample), len(candidates))
+            if _log.isEnabledFor(TRACE):
+                for v in candidates:
+                    _log.log(TRACE, "  candidate %s", v)
         merge_distance = cfg.region_merge_distance
         if merge_distance is None:
             # phasing range: variants joinable by one read (or one fragment
@@ -168,7 +180,9 @@ class CallerBase:
             if len(variants) <= self.MAX_DIRECT_VARIANTS:
                 ctx = self._build_context(begin, end, variants, reads_by_sample)
                 if ctx is not None:
-                    calls.extend(self._infer_and_call(ctx))
+                    new_calls = self._infer_and_call(ctx)
+                    self._debug_dump_region(ctx, new_calls)
+                    calls.extend(new_calls)
             else:
                 # dense super-region: step the stateful generator through it
                 # (lagging keeps cross-window phase; holdout/backtrack bound
@@ -178,6 +192,25 @@ class CallerBase:
         return calls
 
     MAX_DIRECT_VARIANTS = 24
+
+    def _debug_dump_region(self, ctx, new_calls) -> None:
+        """--debug/--trace region dumps (the reference's debug::print_*
+        helpers, caller.cpp:228-284): active region, haplotype/read counts,
+        per-call genotypes and qualities; TRACE adds haplotype variants."""
+        if not _log.isEnabledFor(logging.DEBUG):
+            return
+        _log.debug("region %s:%d-%d: %d variants, %d haplotypes, reads/sample %s",
+                   self.contig, ctx.begin, ctx.end, len(ctx.variants),
+                   len(ctx.haplotypes),
+                   [m.shape[1] for m in ctx.lnL])
+        if _log.isEnabledFor(TRACE):
+            for i, h in enumerate(ctx.haplotypes):
+                _log.log(TRACE, "  hap %d: %s", i,
+                         [str(v) for v in h.variants] or "<ref>")
+        for c in new_calls:
+            _log.debug("  call %d-%d %s gt=%s q=%.2f %s", c.begin, c.end,
+                       [str(v) for v in c.alts], c.genotypes, c.quality,
+                       c.info or "")
 
     def _call_with_generator(self, variants, reads_by_sample) -> list[SiteCall]:
         from ..hapgen.haplotype_generator import (GeneratorLimits,
@@ -207,7 +240,9 @@ class CallerBase:
                 packet.haplotypes, packet.variants, reads_by_sample)
             if ctx is None:
                 continue
-            for c in self._infer_and_call(ctx):
+            new_calls = self._infer_and_call(ctx)
+            self._debug_dump_region(ctx, new_calls)
+            for c in new_calls:
                 # indicators re-call lagged sites; keep the first emission
                 if any(c.begin < e and c.end > b for b, e in called_spans):
                     continue

@@ -15,12 +15,23 @@ import time
 logger = logging.getLogger("octopus_tpu")
 
 
+TRACE = 5     # below DEBUG: per-region posterior/haplotype dumps
+
+
 def init_logging(debug: bool = False, trace: bool = False,
                  log_file: str | None = None) -> None:
-    level = logging.DEBUG if (debug or trace) else logging.INFO
-    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    """Mirrors the reference's --debug/--trace log files
+    (src/config/common.hpp DEBUG_MODE/TRACE_MODE + debug::print_* dumps):
+    stderr stays at INFO; the log file carries DEBUG (or TRACE) records."""
+    logging.addLevelName(TRACE, "TRACE")
+    level = TRACE if trace else (logging.DEBUG if debug else logging.INFO)
+    stderr_handler = logging.StreamHandler(sys.stderr)
+    stderr_handler.setLevel(logging.INFO)
+    handlers: list[logging.Handler] = [stderr_handler]
     if log_file:
-        handlers.append(logging.FileHandler(log_file))
+        fh = logging.FileHandler(log_file, mode="w")
+        fh.setLevel(level)
+        handlers.append(fh)
     logging.basicConfig(
         level=level,
         format="[%(asctime)s] <%(levelname)s> %(message)s",
