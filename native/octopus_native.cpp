@@ -561,7 +561,55 @@ static PyObject* extract_bubbles(PyObject*, PyObject* args) {
     return out;
 }
 
+// count_runs(mask: int16 buffer, max_gap) -> int32 bytes
+// Mirrors octopus_tpu.core.likelihood.error_models._count_runs (which in
+// turn mirrors count_runs in repeat_based_snv_error_model.cpp): for each
+// position, the length of the repeat run that just ended there.
+static PyObject* count_runs(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    int max_gap;
+    if (!PyArg_ParseTuple(args, "y*i", &buf, &max_gap)) return nullptr;
+    const int16_t* mask = (const int16_t*)buf.buf;
+    Py_ssize_t n = buf.len / (Py_ssize_t)sizeof(int16_t);
+    PyObject* result = PyBytes_FromStringAndSize(nullptr, n * sizeof(int32_t));
+    if (!result) { PyBuffer_Release(&buf); return nullptr; }
+    int32_t* out = (int32_t*)PyBytes_AS_STRING(result);
+    if (n > 0) {
+        std::memset(out, 0, n * sizeof(int32_t));
+        int16_t prev = mask[0];
+        int32_t count = prev > 0 ? 1 : 0;
+        int gap = 0;
+        for (Py_ssize_t i = 1; i < n; ++i) {
+            int16_t x = mask[i];
+            int32_t emitted = 0;
+            if (x == 0) {
+                ++gap;
+                if (count > 0) {
+                    if (gap == 1) {
+                        emitted = count;
+                        if (max_gap < 1) count = 0;
+                    } else if (gap > max_gap) {
+                        count = 0;
+                    }
+                }
+            } else if (prev == x) {
+                gap = 0;
+                ++count;
+            } else {
+                prev = x;
+                emitted = count;
+                count = 1;
+            }
+            out[i] = emitted;
+        }
+    }
+    PyBuffer_Release(&buf);
+    return result;
+}
+
 static PyMethodDef methods[] = {
+    {"count_runs", count_runs, METH_VARARGS,
+     "Repeat-run lengths ending at each position -> int32-le bytes."},
     {"extract_bubbles", extract_bubbles, METH_VARARGS,
      "De-Bruijn bubble extraction -> [(ref_start_i, ref_end_i, alt, score)] or None."},
     {"inflate_bgzf", inflate_bgzf, METH_VARARGS,

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--very-fast", action="store_true")
     g.add_argument("--benchmark", action="store_true",
                    help="print phase timers at exit (reference BENCHMARK build)")
+    g.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a JAX profiler trace of the run to DIR "
+                        "(view with TensorBoard / xprof)")
     # TPU-build extras: multi-host work sharing + resumable shards
     g.add_argument("--shard-index", type=int, default=None,
                    help="this host's shard (multi-host static striping)")

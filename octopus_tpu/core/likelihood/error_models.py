@@ -21,6 +21,11 @@ import numpy as np
 from ...utils.tandem import Repeat, extract_exact_tandem_repeats
 from ...basics.sequence import A, C, G, T
 
+try:  # native count_runs hot loop (native/octopus_native.cpp)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 # ---------------------------------------------------------------------------
 # Built-in parameter tables (values mirror the reference's
 # error_model_factory.cpp builtin_snv_models / builtin_indel_models).
@@ -99,6 +104,7 @@ class RepeatBasedSnvErrorModel:
     def __init__(self, library: str = "PCR-FREE"):
         caps = SNV_PENALTY_CAPS[library.upper()]
         self._caps = [list(c) for c in caps]
+        self._caps_arr = [np.asarray(c, dtype=np.int16) for c in caps]
         self.max_quality = self._caps[0][0]
 
     def evaluate(self, codes: np.ndarray, substitution_mask: np.ndarray | None = None) -> SnvErrorResult:
@@ -115,12 +121,12 @@ class RepeatBasedSnvErrorModel:
             period_masks[r.period - 1][r.pos:r.pos + r.length] = motif_hash
         for period in range(1, self.MAX_PERIOD + 1):
             mask = period_masks[period - 1]
-            caps = self._caps[period - 1]
+            caps = self._caps_arr[period - 1]
             max_gap = period + 1
             runs = _count_runs(mask, max_gap)
-            np.minimum(fwd, np.asarray([_lookup(caps, int(l)) for l in runs], dtype=np.int16), out=fwd)
+            np.minimum(fwd, caps[np.minimum(runs, len(caps) - 1)], out=fwd)
             runs_rev = _count_runs(mask[::-1], max_gap)[::-1]
-            np.minimum(rev, np.asarray([_lookup(caps, int(l)) for l in runs_rev], dtype=np.int16), out=rev)
+            np.minimum(rev, caps[np.minimum(runs_rev, len(caps) - 1)], out=rev)
         if substitution_mask is not None and substitution_mask.any():
             fwd[substitution_mask] = max_q
             rev[substitution_mask] = max_q
@@ -135,6 +141,10 @@ def _count_runs(mask: np.ndarray, max_gap: int) -> np.ndarray:
     emitted at the first zero after the run and at value-change positions.
     (Mirrors count_runs in repeat_based_snv_error_model.cpp.)
     """
+    if _native is not None:
+        raw = _native.count_runs(
+            np.ascontiguousarray(mask, dtype=np.int16).tobytes(), int(max_gap))
+        return np.frombuffer(raw, dtype=np.int32).copy()
     n = len(mask)
     out = np.zeros(n, dtype=np.int32)
     if n == 0:

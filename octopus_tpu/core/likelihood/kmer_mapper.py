@@ -90,12 +90,17 @@ class HaplotypeKmerIndex:
         key = read_of * max_begin + begin
         votes = np.bincount(key, minlength=n_reads * max_begin).reshape(n_reads, max_begin)
         best = votes.max(axis=1)
+        # all argmax positions at once (row-major nonzero is grouped by read);
+        # best==0 rows would match every column, so compare against -1 there
+        tgt = np.where(best > 0, best, -1)
+        rows, cols = np.nonzero(votes == tgt[:, None])
+        counts = np.bincount(rows, minlength=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        cols = cols.astype(np.int64)
         for r in range(n_reads):
-            if best[r] == 0:
-                out.append(np.zeros(0, np.int64))
-            else:
-                pos = np.flatnonzero(votes[r] == best[r])[:max_positions]
-                out.append(pos.astype(np.int64))
+            lo_r = offs[r]
+            out.append(cols[lo_r:lo_r + min(int(counts[r]), max_positions)])
         return out
 
 

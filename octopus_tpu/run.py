@@ -258,6 +258,17 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
 
 
 def run_calling(args) -> int:
+    if getattr(args, "profile", None):
+        # JAX profiler trace of the whole run (device + host annotations);
+        # the reference's analog is its BENCHMARK phase-timer build
+        import contextlib
+        import jax
+        with jax.profiler.trace(args.profile):
+            profile_dir, args.profile = args.profile, None
+            code = run_calling(args)
+        print(f"octopus-tpu: profiler trace written to {profile_dir}",
+              file=sys.stderr)
+        return code
     t0 = time.time()
     from .utils import timers
     timers.enabled = bool(getattr(args, "benchmark", False))
