@@ -182,10 +182,17 @@ class VcfWriter:
     def __init__(self, path: str | None, header: VcfHeader):
         self.path = path
         self.header = header
+        self._bcf = None
         if path is None:
             import sys
             self._fh = sys.stdout
             self._bgzf = None
+        elif str(path).endswith(".bcf"):
+            from .bcf import BcfWriter
+            self._bcf = BcfWriter(str(path), header)
+            self._fh = None
+            self._bgzf = None
+            return
         elif str(path).endswith(".gz"):
             self._bgzf = BgzfWriter(str(path))
             self._fh = None
@@ -201,10 +208,15 @@ class VcfWriter:
             self._fh.write(text)
 
     def write(self, record: VcfRecord) -> None:
+        if self._bcf is not None:
+            self._bcf.write(record)
+            return
         self._write_text(record.to_line() + "\n")
 
     def close(self) -> None:
-        if self._bgzf is not None:
+        if self._bcf is not None:
+            self._bcf.close()
+        elif self._bgzf is not None:
             self._bgzf.close()
         elif self._fh is not None and self.path is not None:
             self._fh.close()
@@ -219,6 +231,13 @@ class VcfWriter:
 class VcfReader:
     def __init__(self, path: str):
         self.path = str(path)
+        if self.path.endswith(".bcf") or _is_bcf(self.path):
+            from .bcf import BcfReader
+            self._bcf = BcfReader(self.path)
+            self.header = self._bcf.header
+            self._body = None
+            return
+        self._bcf = None
         if self.path.endswith(".gz"):
             try:
                 raw = BgzfReader(self.path).read_all()
@@ -233,11 +252,31 @@ class VcfReader:
         self._body = [l for l in lines if l and not l.startswith("#")]
 
     def __iter__(self):
+        if self._bcf is not None:
+            yield from self._bcf
+            return
         for line in self._body:
             yield VcfRecord.parse(line)
 
     def records(self) -> list[VcfRecord]:
         return list(self)
+
+
+def _is_bcf(path: str) -> bool:
+    """Detect a BCF payload behind any extension (magic inside BGZF)."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(18)
+        if head[:2] != b"\x1f\x8b":
+            return False
+        import zlib as _z
+        with open(path, "rb") as fh:
+            raw = fh.read(1 << 16)
+        bsize = int.from_bytes(raw[16:18], "little") + 1
+        data = _z.decompress(raw[18:bsize - 8], -15)
+        return data[:5] == b"BCF\x02\x02"
+    except Exception:
+        return False
 
 
 def merge_sorted(paths: list[str], out_path: str, header: VcfHeader,

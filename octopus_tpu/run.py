@@ -428,6 +428,11 @@ def run_calling(args) -> int:
     merge_sorted(shard_paths, out_path, header,
                  _contig_order(reference, getattr(args, "contig_output_order",
                                                   "REFERENCE_INDEX")))
+    if str(out_path).endswith(".gz"):
+        # index the final bgzipped output, as the reference does
+        # (vcf_utils::index_vcf on every written VCF, octopus.cpp)
+        from .io.tabix import index_vcf
+        index_vcf(out_path)
     if getattr(args, "data_profile", None):
         _run_data_profile(args, reference, bams, regions, out_path)
     if args.output is None:

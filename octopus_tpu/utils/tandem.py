@@ -85,9 +85,11 @@ def _find_period_runs(codes: np.ndarray, p: int) -> list[Repeat]:
 
 
 def _is_primitive(motif: np.ndarray) -> bool:
-    p = len(motif)
+    # periods are tiny (<= 5): plain python beats numpy tile/compare here
+    m = motif.tolist()
+    p = len(m)
     for d in range(1, p):
-        if p % d == 0 and np.array_equal(np.tile(motif[:d], p // d), motif):
+        if p % d == 0 and all(m[k] == m[k % d] for k in range(p)):
             return False
     return True
 
