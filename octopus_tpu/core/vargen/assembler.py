@@ -292,15 +292,76 @@ class LocalReassembler:
         opt = self.options
         out: dict[Variant, None] = {}
         step = opt.bin_size - opt.bin_overlap
+        interesting = self._interesting_reads(batch)
+        # clustered trigger (TriggerType::clustered): reads whose aligned
+        # bases mismatch the reference >= 2 times — how assembly-only events
+        # (e.g. deletions aligned as full-M reads) present
+        interesting |= self._mismatch_dense_reads(batch, region_begin,
+                                                  region_end)
         pos = region_begin
         while pos < region_end:
             bin_end = min(pos + opt.bin_size, region_end)
-            over = batch.overlapping(pos, bin_end)
-            if len(over) >= 2:
+            sel = (batch.begins < bin_end) & (batch.ends > pos)
+            n_over = int(sel.sum())
+            n_int = int((sel & interesting).sum())
+            # assemble only signal-bearing bins, as the reference's
+            # AssemblerActiveRegionGenerator does (default triggers: reads
+            # with indels or good soft clips at >= min_expected_mutation_
+            # frequency of local coverage; assembler_active_region_
+            # generator.hpp Options)
+            if n_over >= 2 and n_int >= max(2.0, 0.05 * n_over):
+                over = batch.take(sel)
                 for v in self._assemble_bin(over, pos, bin_end):
                     out.setdefault(v)
             pos += step
         return sorted(out, key=lambda v: (v.begin, v.end, v.alt))
+
+    @staticmethod
+    def _interesting_reads(batch: ReadBatch) -> np.ndarray:
+        """Reads that can contribute assembly-only candidates: CIGARs with
+        indel ops or soft clips of >= 2 bases (TriggerType::indel)."""
+        from ...basics import cigar as cg
+        ops = batch.cigar_ops
+        is_indel = (ops[:, 1] == cg.I) | (ops[:, 1] == cg.D)
+        is_clip = (ops[:, 1] == cg.S) & (ops[:, 0] >= 2)
+        flag_op = is_indel | is_clip
+        # reduce ragged op flags to per-read any()
+        read_of = np.searchsorted(batch.cigar_offsets,
+                                  np.arange(len(ops)), side="right") - 1
+        out = np.zeros(len(batch), bool)
+        np.logical_or.at(out, read_of, flag_op)
+        return out
+
+    def _mismatch_dense_reads(self, batch: ReadBatch, region_begin: int,
+                              region_end: int, min_mismatches: int = 2) -> np.ndarray:
+        n = len(batch)
+        out = np.zeros(n, bool)
+        if n == 0:
+            return out
+        lo = max(int(batch.begins.min()), 0)
+        hi = min(int(batch.ends.max()), self.reference.contig_size(self.contig))
+        if hi <= lo:
+            return out
+        ref = self.reference.fetch_codes(self.contig, lo, hi)
+        lens = batch.lengths()
+        n_ops = np.diff(batch.cigar_offsets)
+        # common case: single-op all-M reads, compared in one flat gather
+        from ...basics import cigar as cg
+        simple = ((n_ops == 1)
+                  & (batch.cigar_ops[batch.cigar_offsets[:-1], 1] == cg.M))
+        idx = np.flatnonzero(simple)
+        if len(idx):
+            starts = batch.seq_offsets[idx]
+            L = int(lens[idx].max())
+            col = np.arange(L)
+            valid = col[None, :] < lens[idx][:, None]
+            seq = batch.seq[starts[:, None] + np.minimum(col, lens[idx][:, None] - 1)]
+            rpos = (batch.begins[idx][:, None] - lo) + col
+            rpos_c = np.clip(rpos, 0, len(ref) - 1)
+            mism = (seq != ref[rpos_c]) & valid & (rpos >= 0) & (rpos < len(ref))
+            out[idx] = mism.sum(axis=1) >= min_mismatches
+        # reads with complex cigars were caught by the indel/clip trigger
+        return out
 
     def _assemble_bin(self, batch: ReadBatch, begin: int, end: int) -> list[Variant]:
         opt = self.options

@@ -82,14 +82,19 @@ class TestReassembler:
         asm = LocalReassembler(ref, "chr1", AssemblerOptions(min_kmer_observations=2))
         assert asm.generate(batch, 0, 500) == []
 
-    def test_snv_found(self):
+    def test_clustered_snvs_found(self):
+        """Clustered SNVs trigger assembly (the reference's default triggers
+        are indel+clustered; an isolated SNV is the pileup scanner's job and
+        does not gate in the assembler, assembler_active_region_generator.hpp)."""
         ref, seq = make_ref(seed=5)
         alt = "T" if seq[250] != "T" else "A"
-        hap = seq[:250] + alt + seq[251:]
+        alt2 = "G" if seq[262] != "G" else "C"
+        hap = seq[:250] + alt + seq[251:262] + alt2 + seq[263:]
         batch = make_read_batch("chr1", self._reads_from(hap, n=40, seed=6)).sorted_by_begin()
         asm = LocalReassembler(ref, "chr1", AssemblerOptions(min_kmer_observations=2))
         variants = asm.generate(batch, 0, 500)
         assert any(v.is_snv() and v.begin == 250 for v in variants)
+        assert any(v.is_snv() and v.begin == 262 for v in variants)
 
 
 def test_assembler_deletion_called_end_to_end():
