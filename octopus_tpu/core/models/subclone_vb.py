@@ -89,20 +89,22 @@ class SubcloneModel:
             alpha0_vec = np.full(K, self.alpha0, np.float32)
         # bucket the data-dependent dims (reads via an exact mask, genotype
         # rows are independent under vmap) so every region reuses a small
-        # set of compiled programs instead of recompiling per (G, N)
+        # set of compiled programs instead of recompiling per (G, N); the
+        # genotype axis runs in fixed-size chunks so device memory stays
+        # bounded regardless of how many candidate tuples a region proposes
         Np = 8
         while Np < N:
             Np *= 2
+        # ~256 MB fp32 working-set budget for (Gc, S, Np, K) intermediates
+        budget_elems = 64_000_000
+        gchunk = max(1, budget_elems // max(self.n_seeds * Np * (K + 2), 1))
         Gp = 1
-        while Gp < G:
+        while Gp < min(G, gchunk):
             Gp *= 2
         lnL_pad = np.zeros((lnL.shape[0], Np), np.float32)
         lnL_pad[:, :N] = lnL
-        tuples_pad = np.concatenate(
-            [tuples, np.repeat(tuples[:1], Gp - G, axis=0)]) if Gp != G else tuples
         mask = np.zeros(Np, np.float32)
         mask[:N] = 1.0
-        lnl_gkn = jnp.asarray(lnL_pad)[jnp.asarray(tuples_pad)]           # (Gp, K, Np)
         # seeds: uniform + one-hot biased responsibility inits
         rng = np.random.default_rng(0)
         seeds = [np.full((Np, K), 1.0 / K, np.float32)]
@@ -112,14 +114,26 @@ class SubcloneModel:
         seeds = jnp.asarray(np.stack(seeds))                              # (S, Np, K)
         a0 = jnp.asarray(alpha0_vec, jnp.float32)
         mask_j = jnp.asarray(mask)
+        lnL_j = jnp.asarray(lnL_pad)
 
         run = jax.vmap(jax.vmap(
             lambda lnl, r0: _vb_single(lnl, a0, r0, n_iter=self.n_iter,
                                        mask_n=mask_j),
             in_axes=(None, 0)), in_axes=(0, None))
-        elbos, alphas, _ = run(lnl_gkn, seeds)                            # (Gp, S), (Gp, S, K)
-        elbos = np.asarray(elbos, np.float64)[:G]
-        alphas = jnp.asarray(alphas)[:G]
+        elbo_parts = []
+        alpha_parts = []
+        for lo in range(0, G, Gp):
+            hi = min(lo + Gp, G)
+            chunk = tuples[lo:hi]
+            if hi - lo < Gp:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:1], Gp - (hi - lo), axis=0)])
+            lnl_gkn = lnL_j[jnp.asarray(chunk)]                           # (Gp, K, Np)
+            e, al, _ = run(lnl_gkn, seeds)                                # (Gp, S), (Gp, S, K)
+            elbo_parts.append(np.asarray(e, np.float64)[:hi - lo])
+            alpha_parts.append(np.asarray(al)[:hi - lo])
+        elbos = np.concatenate(elbo_parts)
+        alphas = np.concatenate(alpha_parts)
         best_seed = np.argmax(elbos, axis=1)
         gle = elbos[np.arange(G), best_seed]
         map_alphas = np.asarray(alphas)[np.arange(G), best_seed]
