@@ -27,13 +27,18 @@ from .individual import logsumexp
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
 def _vb_single(lnl_kn, alpha0, resp_init, n_iter=50, mask_n=None):
-    """One VB run. lnl_kn: (K, N); alpha0/resp_init: (K,), (N, K).
+    """One VB run. lnl_kn: (K, N); alpha0/resp_init: (K,), (K, N).
 
     mask_n (N,) float 1/0 marks real reads: padded read rows contribute
     nothing to responsibilities sums or the ELBO, so data-dependent read
     counts can be bucketed to a fixed N without changing results.
 
-    Returns (elbo, alpha, responsibilities)."""
+    All (K, N) intermediates keep the large read axis minor: on TPU the
+    minor-most dim tiles to 128 lanes, so a K-minor layout would pad the
+    tiny component axis 3->128 (a ~40x HBM blow-up under the (G, S) vmaps)
+    while N-minor pads K only 3->8 sublanes.
+
+    Returns (elbo, alpha, responsibilities (K, N))."""
     K, N = lnl_kn.shape
     if mask_n is None:
         mask_n = jnp.ones(N, jnp.float32)
@@ -41,17 +46,17 @@ def _vb_single(lnl_kn, alpha0, resp_init, n_iter=50, mask_n=None):
     def step(_, state):
         resp, alpha = state
         e_ln_w = digamma(alpha) - digamma(alpha.sum())
-        logits = e_ln_w[None, :] + lnl_kn.T            # (N, K)
-        resp = jax.nn.softmax(logits, axis=1) * mask_n[:, None]
-        alpha = alpha0 + resp.sum(axis=0)
+        logits = e_ln_w[:, None] + lnl_kn              # (K, N)
+        resp = jax.nn.softmax(logits, axis=0) * mask_n[None, :]
+        alpha = alpha0 + resp.sum(axis=1)
         return resp, alpha
 
-    resp_init = resp_init * mask_n[:, None]
-    resp, alpha = jax.lax.fori_loop(0, n_iter, step, (resp_init, alpha0 + resp_init.sum(axis=0)))
+    resp_init = resp_init * mask_n[None, :]
+    resp, alpha = jax.lax.fori_loop(0, n_iter, step, (resp_init, alpha0 + resp_init.sum(axis=1)))
     e_ln_w = digamma(alpha) - digamma(alpha.sum())
     # ELBO
-    ll_term = jnp.sum(resp * lnl_kn.T)
-    z_prior = jnp.sum(resp * e_ln_w[None, :])
+    ll_term = jnp.sum(resp * lnl_kn)
+    z_prior = jnp.sum(resp * e_ln_w[:, None])
     z_entropy = -jnp.sum(resp * jnp.log(jnp.clip(resp, 1e-30)))
     w_prior = (gammaln(alpha0.sum()) - gammaln(alpha0).sum()
                + jnp.sum((alpha0 - 1) * e_ln_w))
@@ -95,11 +100,15 @@ class SubcloneModel:
         Np = 8
         while Np < N:
             Np *= 2
-        # ~256 MB fp32 working-set budget for (Gc, S, Np, K) intermediates
+        # ~256 MB fp32 working-set budget for (Gc, S, K, Np) intermediates,
+        # counted in PADDED elements: K rounds up to 8 sublanes, Np (minor)
+        # to 128 lanes
         budget_elems = 64_000_000
-        gchunk = max(1, budget_elems // max(self.n_seeds * Np * (K + 2), 1))
+        k_pad = ((K + 7) // 8) * 8
+        np_pad = ((Np + 127) // 128) * 128
+        gchunk = max(1, budget_elems // max(self.n_seeds * np_pad * (k_pad + 2), 1))
         Gp = 1
-        while Gp < min(G, gchunk):
+        while Gp * 2 <= min(G, gchunk):
             Gp *= 2
         lnL_pad = np.zeros((lnL.shape[0], Np), np.float32)
         lnL_pad[:, :N] = lnL
@@ -107,11 +116,11 @@ class SubcloneModel:
         mask[:N] = 1.0
         # seeds: uniform + one-hot biased responsibility inits
         rng = np.random.default_rng(0)
-        seeds = [np.full((Np, K), 1.0 / K, np.float32)]
+        seeds = [np.full((K, Np), 1.0 / K, np.float32)]
         for s in range(self.n_seeds - 1):
-            r = rng.dirichlet(np.ones(K), size=Np).astype(np.float32)
+            r = rng.dirichlet(np.ones(K), size=Np).astype(np.float32).T
             seeds.append(r)
-        seeds = jnp.asarray(np.stack(seeds))                              # (S, Np, K)
+        seeds = jnp.asarray(np.stack(seeds))                              # (S, K, Np)
         a0 = jnp.asarray(alpha0_vec, jnp.float32)
         mask_j = jnp.asarray(mask)
         lnL_j = jnp.asarray(lnL_pad)
