@@ -20,85 +20,14 @@ import numpy as np
 
 
 
-def flatten_haplotype(hap_pieces):
-    """(flat sequence string, ref coordinate per flat base; -1 = inserted)."""
-    chars, refc = [], []
-    for ref_i, piece in enumerate(hap_pieces):
-        for k, ch in enumerate(piece):
-            chars.append(ch)
-            refc.append(ref_i if k == 0 else -1)
-    return "".join(chars), np.asarray(refc)
-
-
-def read_from_flat(hap, refc, begin, read_len, rng, err=0.001):
-    """One read tuple (pos, cigar, seq, quals, mapq, flags=0) or None."""
-    s = list(hap[begin:begin + read_len])
-    for j in range(read_len):
-        if rng.random() < err:
-            s[j] = "ACGT"[rng.integers(0, 4)]
-    rc = refc[begin:begin + read_len]
-    aligned = np.flatnonzero(rc >= 0)
-    if not len(aligned):
-        return None
-    lead_ins = int(aligned[0])
-    cig, last_ref, run_m = [], None, 0
-    if lead_ins:
-        cig.append(f"{lead_ins}S")
-    for j in range(lead_ins, read_len):
-        if rc[j] < 0:
-            if run_m:
-                cig.append(f"{run_m}M"); run_m = 0
-            if cig and cig[-1].endswith("I"):
-                cig[-1] = f"{int(cig[-1][:-1]) + 1}I"
-            else:
-                cig.append("1I")
-        else:
-            if last_ref is not None and rc[j] > last_ref + 1:
-                if run_m:
-                    cig.append(f"{run_m}M"); run_m = 0
-                cig.append(f"{int(rc[j] - last_ref - 1)}D")
-            run_m += 1
-            last_ref = int(rc[j])
-    if run_m:
-        cig.append(f"{run_m}M")
-    if cig and cig[-1].endswith("I"):
-        cig[-1] = cig[-1][:-1] + "S"
-    return (int(rc[aligned[0]]), "".join(cig), "".join(s))
-
-
-def write_sample_bam(tmp, name, hap_pieces_pair, n_ref, depth, read_len, rng):
-    """Simulate a diploid sample from two haplotype piece-lists -> BAM path."""
-    from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
-    from octopus_tpu.io.bam_writer import BamWriter, build_bai
-    flats = [flatten_haplotype(h) for h in hap_pieces_pair]
-    n_reads = int(n_ref * depth / read_len)
-    reads = []
-    for i in range(n_reads):
-        hap, refc = flats[i % 2]
-        if len(hap) <= read_len:
-            continue
-        begin = int(rng.integers(0, len(hap) - read_len))
-        r = read_from_flat(hap, refc, begin, read_len, rng)
-        if r is None:
-            continue
-        pos, cig, s = r
-        reads.append((pos, cig, s, [37] * read_len, 60,
-                      FLAG_REVERSE if rng.random() < 0.5 else 0))
-    batch = make_read_batch("chr1", reads).sorted_by_begin()
-    bam = os.path.join(tmp, f"{name}.bam")
-    with BamWriter(bam, ["chr1"], [n_ref], samples=[name]) as w:
-        w.write_batch(batch, sample=name)
-    build_bai(bam)
-    return bam
+from octopus_tpu.utils.synthetic import (  # shared simulators
+    flatten_haplotype, read_from_flat, write_reference as _write_reference,
+    write_sample_bam,
+)
 
 
 def write_reference(tmp, seq):
-    fa = os.path.join(tmp, "ref.fa")
-    with open(fa, "w") as fh:
-        fh.write(">chr1\n")
-        for i in range(0, len(seq), 70):
-            fh.write(seq[i:i + 70] + "\n")
-    return fa
+    return _write_reference(tmp, seq)
 
 
 def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):

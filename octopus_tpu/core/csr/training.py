@@ -27,7 +27,8 @@ class PassingFilter:
     def __init__(self, measures: tuple[str, ...] = ()):
         self.measures = tuple(measures) or tuple(ALL_MEASURES)
 
-    def classify(self, measures: dict, somatic: bool = False) -> list[str]:
+    def classify(self, measures: dict, somatic: bool = False,
+                 denovo: bool = False) -> list[str]:
         return []
 
     def filter_ids(self) -> list[str]:

@@ -27,6 +27,7 @@ from ..types.haplotypes import Haplotype
 class Assignment:
     hap_of_read: np.ndarray      # (n_reads,) haplotype index, -1 ambiguous
     support: dict[int, np.ndarray]  # hap -> read indices
+    log_likelihoods: np.ndarray | None = None  # (n_reads,) best-hap lnL
 
 
 def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
@@ -47,7 +48,8 @@ def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
     hap_of_read = np.asarray([unique_haps[b] for b in best])
     hap_of_read[ambiguous] = -1
     support = {h: np.flatnonzero(hap_of_read == h) for h in unique_haps}
-    return Assignment(hap_of_read, support)
+    best_lnl = lnL[best, np.arange(lnL.shape[1])] if lnL.size else np.zeros(0)
+    return Assignment(hap_of_read, support, best_lnl)
 
 
 def realign_read_to_haplotype(batch: ReadBatch, read_idx: int,

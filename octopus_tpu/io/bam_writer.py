@@ -56,16 +56,21 @@ class BamWriter:
         self._w.write(blob)
         self._count = 0
 
-    def write_batch(self, batch: ReadBatch, sample: str | None = None) -> None:
+    def write_batch(self, batch: ReadBatch, sample: str | None = None,
+                    tags: list[bytes] | None = None) -> None:
+        """tags: optional per-read pre-encoded aux bytes (see encode_tag),
+        appended after the RG tag — used by the evidence-BAM realigner for
+        HP/PS/LK annotations (the reference's bam_realigner.cpp:167-196)."""
         ref_id = self.ref_names.index(batch.contig)
         for i in range(len(batch)):
             name = (batch.names[i] if batch.names is not None
                     else f"read{self._count}")
             self._count += 1
-            self._write_record(ref_id, batch, i, name, sample)
+            self._write_record(ref_id, batch, i, name, sample,
+                               tags[i] if tags is not None else b"")
 
     def _write_record(self, ref_id: int, batch: ReadBatch, i: int, name: str,
-                      sample: str | None) -> None:
+                      sample: str | None, extra_tags: bytes = b"") -> None:
         seq = batch.sequence(i)
         quals = batch.qualities(i)
         cigar = batch.cigar(i)
@@ -94,6 +99,7 @@ class BamWriter:
         rec += quals.astype(np.uint8).tobytes()
         if sample is not None:
             rec += b"RGZ" + sample.encode() + b"\x00"
+        rec += extra_tags
         self._w.write(struct.pack("<i", len(rec)) + rec)
 
     def close(self) -> None:
@@ -222,4 +228,16 @@ def build_bai(bam_path: str, bai_path: str | None = None) -> str:
     return bai_path
 
 
-__all__ = ["BamWriter", "build_bai"]
+def encode_tag(name: str, value) -> bytes:
+    """Encode one BAM aux tag: str -> Z, int -> i (int32)."""
+    tag = name.encode()
+    if len(tag) != 2:
+        raise ValueError(f"aux tag name must be 2 chars: {name!r}")
+    if isinstance(value, str):
+        return tag + b"Z" + value.encode() + b"\x00"
+    if isinstance(value, (int, np.integer)):
+        return tag + b"i" + struct.pack("<i", int(value))
+    raise TypeError(f"unsupported aux tag value type: {type(value)}")
+
+
+__all__ = ["BamWriter", "build_bai", "encode_tag"]

@@ -316,7 +316,14 @@ def run_calling(args) -> int:
     else:
         pipe = ReadPipe()
     if getattr(args, "disable_call_filtering", False):
-        csr = None
+        # training mode (option_collation.cpp:2306-2309): with --annotations
+        # a PassingVariantCallFilter still computes + emits the measures and
+        # marks every call PASS; without annotations, no CSR work at all
+        if components and components.annotations:
+            from .core.csr.training import PassingFilter
+            csr = PassingFilter(tuple(components.annotations))
+        else:
+            csr = None
     elif components:
         csr = ThresholdFilter(components.filter_expression,
                               components.somatic_filter_expression,
@@ -325,11 +332,16 @@ def run_calling(args) -> int:
     else:
         csr = ThresholdFilter()
     annotations = tuple(components.annotations) if components else ()
+    if "all" in annotations:   # --annotations all (cli.md)
+        from .core.csr.measures import ALL_MEASURES
+        annotations = tuple(ALL_MEASURES)
     header = make_vcf_header(reference, sorted({r[0] for r in regions}),
                              [] if getattr(args, "sites_only", False) else samples)
     if csr is not None:
         for fid in csr.filter_ids():
             header.add_filter(fid, f"Threshold filter {fid}")
+    for name in annotations:
+        header.add_info(name, ".", "String", f"CSR measure {name}")
     refcall_mode = getattr(args, "refcall", None)
     if refcall_mode:
         header.add_info("END", "1", "Integer", "End position of reference block")
@@ -435,6 +447,14 @@ def run_calling(args) -> int:
         index_vcf(out_path)
     if getattr(args, "data_profile", None):
         _run_data_profile(args, reference, bams, regions, out_path)
+    if getattr(args, "bamout", None):
+        # evidence-BAM pass over the final calls (octopus.cpp:1671-1708)
+        from .core.tools.bam_realigner import run_bamout
+        stats = run_bamout(out_path, reference, bams, samples, args.bamout,
+                           bamout_type=getattr(args, "bamout_type", "MINI"))
+        print(f"octopus-tpu: bamout {args.bamout}: "
+              f"{stats['realigned']} realigned, "
+              f"{stats['passthrough']} passthrough reads", file=sys.stderr)
     if args.output is None:
         sys.stdout.write(open(out_path).read())
         os.unlink(out_path)
