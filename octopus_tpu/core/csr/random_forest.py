@@ -258,7 +258,7 @@ class RandomForestFilter:
         self.min_quality = min_quality
 
     def classify(self, measure_dicts: list[dict]) -> tuple[np.ndarray, list[list[str]]]:
-        X = np.asarray([[float(m.get(k, 0.0)) for k in self.forest.measures]
+        X = np.asarray([[_num(m.get(k)) for k in self.forest.measures]
                         for m in measure_dicts])
         if len(X) == 0:
             return np.zeros(0), []
@@ -269,4 +269,43 @@ class RandomForestFilter:
         return rfgq, fails
 
 
-__all__ = ["Forest", "train_forest", "RandomForestFilter"]
+def _num(v) -> float:
+    """Missing/non-numeric measure -> -1.0, the training-time imputation."""
+    if v is None or v is True or v is False:
+        return 1.0 if v is True else (-1.0 if v is None else 0.0)
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return -1.0
+    return f if np.isfinite(f) else -1.0
+
+
+class ForestCsr:
+    """In-run CSR classifier backed by forests (the reference's
+    RandomForestFilterFactory path, random_forest_filter.hpp): germline
+    calls score with the germline forest, SOMATIC calls with the somatic
+    forest when given (somatic_random_forest_filter.hpp), falling back to
+    the germline forest otherwise. Satisfies the same classify() interface
+    as ThresholdFilter plus classify_q() returning the RFGQ quality."""
+
+    def __init__(self, germline_path: str, somatic_path: str | None = None,
+                 min_quality: float = 3.0):
+        self.germline = RandomForestFilter(Forest.load(germline_path), min_quality)
+        self.somatic = (RandomForestFilter(Forest.load(somatic_path), min_quality)
+                        if somatic_path else None)
+
+    def filter_ids(self) -> list[str]:
+        return ["RF"]
+
+    def classify_q(self, measures: dict, somatic: bool = False,
+                   denovo: bool = False) -> tuple[list[str], float]:
+        rf = self.somatic if (somatic and self.somatic is not None) else self.germline
+        rfgq, fails = rf.classify([measures])
+        return fails[0], float(rfgq[0])
+
+    def classify(self, measures: dict, somatic: bool = False,
+                 denovo: bool = False) -> list[str]:
+        return self.classify_q(measures, somatic=somatic, denovo=denovo)[0]
+
+
+__all__ = ["Forest", "train_forest", "RandomForestFilter", "ForestCsr"]

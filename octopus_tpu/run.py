@@ -324,6 +324,13 @@ def run_calling(args) -> int:
             csr = PassingFilter(tuple(components.annotations))
         else:
             csr = None
+    elif getattr(args, "forest_model", None):
+        # forest CSR replaces threshold classification
+        # (RandomForestFilterFactory, option_collation.cpp)
+        from .core.csr.random_forest import ForestCsr
+        csr = ForestCsr(args.forest_model,
+                        getattr(args, "somatic_forest_model", None),
+                        getattr(args, "min_forest_quality", 3.0))
     elif components:
         csr = ThresholdFilter(components.filter_expression,
                               components.somatic_filter_expression,
@@ -340,6 +347,9 @@ def run_calling(args) -> int:
     if csr is not None:
         for fid in csr.filter_ids():
             header.add_filter(fid, f"Threshold filter {fid}")
+        if hasattr(csr, "classify_q"):
+            header.add_format("RFGQ", "1", "Float",
+                              "Random forest call quality")
     for name in annotations:
         header.add_info(name, ".", "String", f"CSR measure {name}")
     refcall_mode = getattr(args, "refcall", None)
@@ -529,10 +539,21 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                 ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
                 ref_begin=ref_lo, pipe_report=window_report,
                 reads_by_sample=batches_by_sample)
-            failed = csr.classify(measures,
-                                  somatic=bool(call.info.get("SOMATIC")),
-                                  denovo=bool(call.info.get("DENOVO")))
+            rfgq = None
+            if hasattr(csr, "classify_q"):
+                failed, rfgq = csr.classify_q(
+                    measures, somatic=bool(call.info.get("SOMATIC")),
+                    denovo=bool(call.info.get("DENOVO")))
+            else:
+                failed = csr.classify(measures,
+                                      somatic=bool(call.info.get("SOMATIC")),
+                                      denovo=bool(call.info.get("DENOVO")))
             record.filters = failed if failed else ["PASS"]
+            if rfgq is not None:
+                if "RFGQ" not in record.format_keys:
+                    record.format_keys.append("RFGQ")
+                for sv in record.sample_values:
+                    sv["RFGQ"] = round(rfgq, 2)
             record.info["DP"] = measures["DP"]
             record.info["MQ"] = round(measures["MQ"], 1)
             for name in annotations:

@@ -235,3 +235,26 @@ def test_samples_restriction_and_reads_file(tmp_path, small_genome):
         "-S", "NOPE",
     ])
     assert run_calling(args2) == 2
+
+
+def test_forest_model_in_run(tmp_path, small_genome):
+    """--forest-model during calling: RF classification + RFGQ emission."""
+    fa, seq = small_genome
+    bam, alt_of = write_bam(tmp_path, seq, [500, 1500], [1000])
+    out = tmp_path / "calls_rf.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1",
+        "--forest-model", "resources/forests/germline.npz",
+    ])
+    assert run_calling(args) == 0
+    reader = VcfReader(str(out))
+    records = reader.records()
+    assert records
+    for r in records:
+        assert "RFGQ" in r.format_keys
+        q = float(r.sample_values[0]["RFGQ"])
+        assert (r.filters == ["PASS"]) == (q >= 3.0)
+        assert r.filters in (["PASS"], ["RF"])
+    # clean sim with strong truth variants: the shipped forest should PASS them
+    assert any(r.filters == ["PASS"] for r in records)
+    assert any(f.get("ID") == "RF" for f in reader.header.filters)
