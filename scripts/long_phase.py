@@ -15,6 +15,9 @@ import os
 import subprocess
 import sys
 
+# make the repo importable when run as a standalone script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build_cmd(args, extra: list[str]) -> list[str]:
     cmd = ["-R", args.reference, "-I", *args.reads]

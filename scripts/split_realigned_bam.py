@@ -12,7 +12,11 @@ Uses octopus_tpu's own htslib-free BAM reader/writer (no pysam needed).
 from __future__ import annotations
 
 import argparse
+import os as _os
 import sys
+
+# make the repo importable when run as a standalone script
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

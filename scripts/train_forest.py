@@ -26,6 +26,9 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+# make the repo importable when run as a standalone script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 import numpy as np
