@@ -607,7 +607,209 @@ static PyObject* count_runs(PyObject*, PyObject* args) {
     return result;
 }
 
+// ---------------------------------------------------------------------------
+// Batched banded pair-HMM align + flank-score discount.
+//
+// Mirrors the reference's traceback-and-subtract flank correction
+// (src/core/models/pairhmm/simd_pair_hmm.hpp:352-430 calculate_flank_score)
+// and the repo's host golden model (pairhmm_ref.banded_align +
+// flank_score_of_path), batched over the flank-overlapping rows of one
+// device launch. Inputs are the same packed per-row windows the device
+// kernel consumes; output is the flank-corrected phred score per row.
+// ---------------------------------------------------------------------------
+
+static const int32_t kInf = 1 << 29;
+static const int32_t kNScore = 2;   // pairhmm_ref.N_SCORE
+static const int32_t kNCode = 4;
+
+struct FlankDP {
+    // tables sized (R+1, D); backpointers 0=M,1=I,2=D,3=START
+    std::vector<int32_t> M, I, D;
+    std::vector<int8_t> Mb, Ib, Db;
+    std::vector<char> ops;   // traceback scratch
+    void resize(int rows, int d) {
+        size_t n = (size_t)rows * d;
+        M.assign(n, kInf); I.assign(n, kInf); D.assign(n, kInf);
+        Mb.assign(n, 0); Ib.assign(n, 0); Db.assign(n, 0);
+    }
+};
+
+static inline int32_t match_cost(int32_t t, int32_t w, int32_t q,
+                                 int32_t m, int32_t pr) {
+    int32_t pen = (t == w) ? 0 : ((m == t) ? std::min(q, pr) : q);
+    if (w == kNCode) pen = std::min(pen, kNScore);
+    return pen;
+}
+
+// flank_banded_scores(n, L, W, pad, nuc_prior,
+//                     tgt, quals,            # (n, L) int32
+//                     win, opn, ext, mask, prior,   # (n, W) int32
+//                     lens, lhs_w, rhs_w)    # (n,) int32
+// -> bytes of n int32 flank-corrected scores
+static PyObject* flank_banded_scores(PyObject*, PyObject* args) {
+    int n, L, W, pad, nuc_prior;
+    Py_buffer tgt_b, qual_b, win_b, opn_b, ext_b, mask_b, prior_b;
+    Py_buffer len_b, lhs_b, rhs_b;
+    if (!PyArg_ParseTuple(args, "iiiiiy*y*y*y*y*y*y*y*y*y*",
+                          &n, &L, &W, &pad, &nuc_prior,
+                          &tgt_b, &qual_b, &win_b, &opn_b, &ext_b, &mask_b,
+                          &prior_b, &len_b, &lhs_b, &rhs_b))
+        return nullptr;
+    PyObject* result = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)n * 4);
+    if (!result) return nullptr;
+    int32_t* out = (int32_t*)PyBytes_AS_STRING(result);
+    const int32_t* tgt_a = (const int32_t*)tgt_b.buf;
+    const int32_t* qual_a = (const int32_t*)qual_b.buf;
+    const int32_t* win_a = (const int32_t*)win_b.buf;
+    const int32_t* opn_a = (const int32_t*)opn_b.buf;
+    const int32_t* ext_a = (const int32_t*)ext_b.buf;
+    const int32_t* mask_a = (const int32_t*)mask_b.buf;
+    const int32_t* prior_a = (const int32_t*)prior_b.buf;
+    const int32_t* lens = (const int32_t*)len_b.buf;
+    const int32_t* lhs_a = (const int32_t*)lhs_b.buf;
+    const int32_t* rhs_a = (const int32_t*)rhs_b.buf;
+    const int Dn = 2 * pad;
+
+    Py_BEGIN_ALLOW_THREADS
+    FlankDP dp;
+    dp.ops.reserve((size_t)L + Dn);
+    for (int i = 0; i < n; ++i) {
+        const int R = lens[i];
+        const int Wr = R + 2 * pad - 1;   // this row's real window width
+        const int32_t* tgt = tgt_a + (size_t)i * L;
+        const int32_t* qual = qual_a + (size_t)i * L;
+        const int32_t* win = win_a + (size_t)i * W;
+        const int32_t* opn = opn_a + (size_t)i * W;
+        const int32_t* ext = ext_a + (size_t)i * W;
+        const int32_t* msk = mask_a + (size_t)i * W;
+        const int32_t* pri = prior_a + (size_t)i * W;
+        dp.resize(R + 1, Dn);
+        auto at = [Dn](std::vector<int32_t>& v, int y, int d) -> int32_t& {
+            return v[(size_t)y * Dn + d];
+        };
+        auto bt = [Dn](std::vector<int8_t>& v, int y, int d) -> int8_t& {
+            return v[(size_t)y * Dn + d];
+        };
+        // row 0: M free start anywhere; gap ops may start only from ODD
+        // diagonals (half-step parity quirk, pairhmm_ref.banded_score)
+        for (int d = 0; d < Dn; ++d) { at(dp.M, 0, d) = 0; bt(dp.Mb, 0, d) = 3; }
+        auto m0_gap = [](int d) -> int32_t { return (d % 2 == 1) ? 0 : kInf; };
+        for (int d = 1; d < Dn; ++d) {
+            int32_t via_open = m0_gap(d - 1) + opn[d - 1];
+            int32_t via_ext = at(dp.D, 0, d - 1) + ext[d - 1];
+            if (via_open <= via_ext) { at(dp.D, 0, d) = via_open; bt(dp.Db, 0, d) = 0; }
+            else { at(dp.D, 0, d) = via_ext; bt(dp.Db, 0, d) = 2; }
+        }
+        for (int y = 1; y <= R; ++y) {
+            for (int d = 0; d < Dn; ++d) {
+                const int x_im1 = y - 1 + d;
+                // match: best of (M, I, D) at (y-1, d); ties prefer M<I<D
+                int32_t c0 = at(dp.M, y - 1, d), c1 = at(dp.I, y - 1, d),
+                        c2 = at(dp.D, y - 1, d);
+                int k = 0; int32_t best = c0;
+                if (c1 < best) { best = c1; k = 1; }
+                if (c2 < best) { best = c2; k = 2; }
+                at(dp.M, y, d) = match_cost(tgt[y - 1], win[x_im1],
+                                            qual[y - 1], msk[x_im1],
+                                            pri[x_im1]) + best;
+                bt(dp.Mb, y, d) = (int8_t)k;
+                // insertion from previous row, diagonal d+1
+                if (d + 1 < Dn) {
+                    int32_t m_prev = (y == 1) ? m0_gap(d + 1)
+                                              : at(dp.M, y - 1, d + 1);
+                    int32_t via_open = m_prev + opn[x_im1];
+                    int32_t via_ext = at(dp.I, y - 1, d + 1) + ext[x_im1];
+                    if (via_open <= via_ext) {
+                        at(dp.I, y, d) = nuc_prior + via_open; bt(dp.Ib, y, d) = 0;
+                    } else {
+                        at(dp.I, y, d) = nuc_prior + via_ext; bt(dp.Ib, y, d) = 1;
+                    }
+                }
+                // deletion: uses this row's M/I at d-1
+                if (d > 0) {
+                    const int x_del = y + d - 1;
+                    int32_t cd0 = at(dp.M, y, d - 1) + opn[x_del];
+                    int32_t cd1 = at(dp.I, y, d - 1) + opn[x_del];
+                    int32_t cd2 = at(dp.D, y, d - 1) + ext[x_del];
+                    int kd = 0; int32_t bd = cd0;
+                    if (cd1 < bd) { bd = cd1; kd = 1; }
+                    if (cd2 < bd) { bd = cd2; kd = 2; }
+                    at(dp.D, y, d) = bd; bt(dp.Db, y, d) = (int8_t)kd;
+                }
+            }
+        }
+        // final: min over states/diagonals at y=R, ties prefer M<I<D then low d
+        int state = 0, d = 0; int32_t score = kInf;
+        for (int s = 0; s < 3; ++s) {
+            std::vector<int32_t>& v = (s == 0) ? dp.M : (s == 1) ? dp.I : dp.D;
+            for (int dd = 0; dd < Dn; ++dd) {
+                if (at(v, R, dd) < score) { score = at(v, R, dd); state = s; d = dd; }
+            }
+        }
+        // traceback
+        dp.ops.clear();
+        int y = R;
+        while (!(y == 0 && state == 0)) {
+            if (state == 0) { state = bt(dp.Mb, y, d); dp.ops.push_back('M'); --y; }
+            else if (state == 1) { state = bt(dp.Ib, y, d); dp.ops.push_back('I'); --y; ++d; }
+            else { state = bt(dp.Db, y, d); dp.ops.push_back('D'); --d; }
+        }
+        // flank walk (simd_pair_hmm.hpp:352-430; pairhmm_ref.flank_score_of_path)
+        const int lhs = lhs_a[i];
+        const int rhs_begin = Wr - rhs_a[i];
+        int truth_idx = d, target_idx = 0, fscore = 0, mask_size = 0;
+        char prev = 'M';
+        for (auto it = dp.ops.rbegin(); it != dp.ops.rend(); ++it) {
+            const char op = *it;
+            const bool in_flank = truth_idx < lhs || truth_idx >= rhs_begin;
+            if (op == 'M') {
+                if (in_flank) {
+                    if (tgt[target_idx] != win[truth_idx]) {
+                        // truth N adds exactly the N score in the walk
+                        // (simd_pair_hmm.hpp:388-393)
+                        if (win[truth_idx] == kNCode) {
+                            fscore += kNScore;
+                        } else {
+                            int32_t q = qual[target_idx];
+                            if (msk[truth_idx] == tgt[target_idx])
+                                q = std::min(q, pri[truth_idx]);
+                            fscore += q;
+                        }
+                    }
+                    ++mask_size;
+                }
+                ++truth_idx; ++target_idx;
+            } else if (op == 'I') {
+                if (in_flank) {
+                    fscore += ((prev == 'I') ? ext[truth_idx - 1]
+                                             : opn[truth_idx - 1]) + nuc_prior;
+                    ++mask_size;
+                }
+                ++target_idx;
+            } else {
+                if (in_flank) {
+                    fscore += (prev == 'D') ? ext[truth_idx] : opn[truth_idx];
+                }
+                ++truth_idx;
+            }
+            prev = op;
+        }
+        if (R - mask_size < 2) fscore = 0;
+        out[i] = score - fscore;
+    }
+    Py_END_ALLOW_THREADS
+
+    PyBuffer_Release(&tgt_b); PyBuffer_Release(&qual_b);
+    PyBuffer_Release(&win_b); PyBuffer_Release(&opn_b);
+    PyBuffer_Release(&ext_b); PyBuffer_Release(&mask_b);
+    PyBuffer_Release(&prior_b); PyBuffer_Release(&len_b);
+    PyBuffer_Release(&lhs_b); PyBuffer_Release(&rhs_b);
+    return result;
+}
+
 static PyMethodDef methods[] = {
+    {"flank_banded_scores", flank_banded_scores, METH_VARARGS,
+     "Batched banded align + flank-score discount -> int32-le scores."},
     {"count_runs", count_runs, METH_VARARGS,
      "Repeat-run lengths ending at each position -> int32-le bytes."},
     {"extract_bubbles", extract_bubbles, METH_VARARGS,

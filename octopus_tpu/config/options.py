@@ -245,8 +245,6 @@ def build_parser() -> argparse.ArgumentParser:
     cancer.add_argument("--max-somatic-haplotypes", type=int, default=2)
     cancer.add_argument("--somatic-snv-prior", type=float, default=1e-4)
     cancer.add_argument("--somatic-indel-prior", type=float, default=1e-6)
-    cancer.add_argument("--min-expected-somatic-frequency-cancer", type=float,
-                        default=None, help=argparse.SUPPRESS)
     cancer.add_argument("--tumour-germline-concentration", type=float, default=1.5)
     cancer.add_argument("--somatic-credible-mass", type=float, default=0.9)
     cancer.add_argument("--min-somatic-posterior", type=float, default=0.5)
@@ -310,7 +308,7 @@ UNWIRED = {
     "one_based_indexing", "use_filtered_source_candidates",
     "aggregate_annotations", "use_germline_forest_for_somatic_normals",
     "regenotype", "somatic_cnv_prior", "max_copy_loss", "max_copy_gain",
-    "use_preprocessed_reads_for_filtering",
+    "use_preprocessed_reads_for_filtering", "sample_dropout_concentrations",
 }
 
 
@@ -432,6 +430,13 @@ def collate(args) -> CollatedComponents:
         scanner.inclusion = "somatic"
         scanner.min_vaf = args.min_credible_somatic_frequency
         scanner.min_probability = args.min_candidate_credible_vaf_probability
+    elif caller_kind == "polyclone":
+        # polyclone uses the same unknown-copy-number inclusion predicate
+        # with min VAF = --min-clone-frequency / 2
+        # (option_collation.cpp:1089-1095)
+        scanner.inclusion = "somatic"
+        scanner.min_vaf = args.min_clone_frequency / 2
+        scanner.min_probability = args.min_candidate_credible_vaf_probability
     elif caller_kind == "cell":
         scanner.inclusion = "cell"
     assembler = AssemblerOptions(
@@ -443,6 +448,9 @@ def collate(args) -> CollatedComponents:
         min_bubble_score=args.min_bubble_score,
         mask_threshold=args.assembler_mask_base_quality,
         max_variant_size=max(args.max_variant_size, 5000),
+        num_fallbacks=args.max_fallback_kmers,
+        fallback_interval_size=max(args.fallback_kmer_gap, 1),
+        assemble_all=args.assemble_all,
     )
     likelihood = LikelihoodConfig(
         max_indel_error=args.max_indel_errors,

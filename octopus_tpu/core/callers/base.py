@@ -27,7 +27,8 @@ from ..hapgen.generator import (
     group_exclusive_sites,
     propose_active_regions,
 )
-from ..likelihood.likelihood_array import (HaplotypeLikelihoodArray,
+from ..likelihood.likelihood_array import (FlankState,
+                                           HaplotypeLikelihoodArray,
                                            LikelihoodConfig,
                                            ShortHaplotypeError)
 from ..models.coalescent import CoalescentModel, CoalescentParams
@@ -178,7 +179,8 @@ class CallerBase:
             if severity == Severity.HIGH:
                 continue   # candidates erased (caller.cpp:185-199)
             if len(variants) <= self.MAX_DIRECT_VARIANTS:
-                ctx = self._build_context(begin, end, variants, reads_by_sample)
+                ctx = self._build_context(begin, end, variants, reads_by_sample,
+                                          all_candidates=candidates)
                 if ctx is not None:
                     new_calls = self._infer_and_call(ctx)
                     self._debug_dump_region(ctx, new_calls)
@@ -237,7 +239,10 @@ class CallerBase:
             if packet is None:
                 break
             ctx = self._context_from_haplotypes(
-                packet.haplotypes, packet.variants, reads_by_sample)
+                packet.haplotypes, packet.variants, reads_by_sample,
+                all_candidates=variants,
+                active_begin=packet.active_begin,
+                active_end=packet.active_end)
             if ctx is None:
                 continue
             new_calls = self._infer_and_call(ctx)
@@ -250,8 +255,17 @@ class CallerBase:
                 called_spans.append((c.begin, c.end))
         return calls
 
+    def _flank_state(self, hap_begin, hap_end, active_begin, active_end,
+                     candidates) -> FlankState | None:
+        if not self.config.likelihood.use_flank_state:
+            return None
+        return calculate_flank_state(hap_begin, hap_end, active_begin,
+                                     active_end, candidates)
+
     def _context_from_haplotypes(self, haplotypes, variants,
-                                 reads_by_sample) -> ActiveRegionContext | None:
+                                 reads_by_sample, all_candidates=None,
+                                 active_begin=None,
+                                 active_end=None) -> ActiveRegionContext | None:
         if len(haplotypes) < 2:
             return None
         hap_begin = haplotypes[0].begin
@@ -259,15 +273,19 @@ class CallerBase:
         active = [b.overlapping(hap_begin, hap_end) for b in reads_by_sample]
         if all(len(b) == 0 for b in active):
             return None
+        flank = None
+        if active_begin is not None:
+            flank = self._flank_state(hap_begin, hap_end, active_begin,
+                                      active_end, all_candidates or variants)
         try:
             return self._finish_context(hap_begin, hap_end, variants,
-                                        haplotypes, active)
+                                        haplotypes, active, flank_state=flank)
         except ShortHaplotypeError:
             # skip the region, as the reference does (caller.cpp:1182-1188)
             return None
 
-    def _build_context(self, begin, end, variants,
-                       reads_by_sample) -> ActiveRegionContext | None:
+    def _build_context(self, begin, end, variants, reads_by_sample,
+                       all_candidates=None) -> ActiveRegionContext | None:
         cfg = self.config
         pad = cfg.likelihood.max_indel_error
         active = [b.overlapping(begin, end) for b in reads_by_sample]
@@ -282,12 +300,18 @@ class CallerBase:
         n_options = 1
         for g in group_exclusive_sites(variants):
             n_options *= len(g) + 1
+        # inactive candidates from NEIGHBOURING active regions can fall
+        # inside this context's haplotype span (reads extend it); discount
+        # their mismatches via the flank state (caller.cpp:1121-1157)
+        flank = self._flank_state(hap_begin, hap_end, begin, end,
+                                  all_candidates or variants)
         if n_options > cfg.max_haplotypes:
             from ..hapgen.beam import grow_haplotypes_beam
             haplotypes = grow_haplotypes_beam(
                 hap_begin, hap_end, variants, fetch, active,
                 cfg.max_haplotypes, cfg.likelihood,
-                cache=getattr(self, "_score_cache", None))
+                cache=getattr(self, "_score_cache", None),
+                flank_state=flank)
         else:
             haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants,
                                               fetch, cfg.max_haplotypes)
@@ -295,18 +319,19 @@ class CallerBase:
             return None
         try:
             return self._finish_context(begin, end, variants, haplotypes,
-                                        active)
+                                        active, flank_state=flank)
         except ShortHaplotypeError:
             return None
 
     def _finish_context(self, begin, end, variants, haplotypes,
-                        active) -> ActiveRegionContext | None:
+                        active, flank_state=None) -> ActiveRegionContext | None:
         cfg = self.config
         hap_begin = haplotypes[0].begin
         hap_end = haplotypes[0].end
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         lik = HaplotypeLikelihoodArray(cfg.likelihood)
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
+                     flank_state=flank_state,
                      substitution_masks=[h.substitution_mask() for h in haplotypes],
                      cache=getattr(self, "_score_cache", None))
         matrices = [lik.sample_matrix(s) for s in range(len(active))]
@@ -349,6 +374,42 @@ class CallerBase:
             for gi, v in enumerate(group):
                 site_alleles[si][ctx.contains[ctx.variants.index(v)]] = gi + 1
         return site_alleles
+
+
+def calculate_flank_state(hap_begin: int, hap_end: int, active_begin: int,
+                          active_end: int, candidates) -> FlankState | None:
+    """Flank sizes from the haplotype-region overhang and the INACTIVE
+    candidates it contains, mirroring calculate_flank_regions
+    (caller.cpp:1121-1157): a flank only exists up to the furthest candidate
+    variant not represented by the active haplotypes — mismatches there are
+    plausibly real variation and must not be charged to the haplotype.
+    Returns None when both flanks are empty."""
+    lhs_b, lhs_e = hap_begin, max(active_begin, hap_begin)
+    rhs_b, rhs_e = min(active_end, hap_end), hap_end
+
+    def contained(b, e):
+        return [v for v in candidates if v.begin >= b and v.end <= e]
+
+    active = contained(active_begin, active_end)
+    if not active:
+        return None
+    leftmost = min(active, key=lambda v: (v.begin, v.end))
+    rightmost = max(active, key=lambda v: (v.begin, v.end))
+    # boundary insertions (empty regions) stay active (caller.cpp:1129-1131)
+    if leftmost.begin == leftmost.end and lhs_e > lhs_b:
+        lhs_e -= 1
+    lhs_inactive = contained(lhs_b, lhs_e)
+    lhs_size = (max(lhs_inactive, key=lambda v: (v.begin, v.end)).end
+                - hap_begin) if lhs_inactive else 0
+    if rightmost.begin == rightmost.end and rhs_e > rhs_b:
+        rhs_b += 1
+    rhs_inactive = contained(rhs_b, rhs_e)
+    rhs_size = (hap_end
+                - min(rhs_inactive, key=lambda v: (v.begin, v.end)).begin
+                ) if rhs_inactive else 0
+    if lhs_size <= 0 and rhs_size <= 0:
+        return None
+    return FlankState(max(lhs_size, 0), max(rhs_size, 0))
 
 
 def _link_template_columns(lnL: np.ndarray, batch) -> np.ndarray:

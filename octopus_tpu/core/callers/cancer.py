@@ -38,6 +38,30 @@ from .base import (
 )
 
 
+def beta_hdi(a: float, b: float, mass: float) -> tuple[float, float]:
+    """Beta highest-density-interval cases as in the reference
+    (src/utils/maths.hpp:1029-1060 beta_hdi)."""
+    from scipy.stats import beta as beta_dist
+    if mass <= 0.0:
+        m = a / (a + b)
+        return m, m
+    if mass >= 1.0:
+        return 0.0, 1.0
+    if a == b:
+        if a == 1.0:                       # uniform
+            half = (1.0 - mass) / 2
+            return half, half + mass
+        x = float(beta_dist.ppf((1.0 - mass) / 2, a, a))
+        return x, 1.0 - x
+    if a == 1.0:                           # J shaped
+        return 0.0, float(beta_dist.ppf(mass, 1.0, b))
+    if b == 1.0:                           # reverse J
+        return float(beta_dist.ppf(1.0 - mass, a, 1.0)), 1.0
+    c = (1.0 - mass) / 2
+    return (float(beta_dist.ppf(c, a, b)),
+            float(beta_dist.ppf(c + mass, a, b)))
+
+
 @dataclass
 class CancerCallerConfig(BaseCallerConfig):
     normal_sample: int | None = None       # index into reads_by_sample
@@ -57,6 +81,20 @@ class CancerCallerConfig(BaseCallerConfig):
     tumour_germline_concentration: float = 1.5
     somatic_concentration: float = 1.0
     max_genotypes: int = 500
+    # somatic-VAF credible-region gating (cancer_caller.cpp:1230-1265):
+    # a somatic call requires >= 1 tumour sample whose somatic-weight
+    # credible region (beta HDI at `somatic_credible_mass` over the VB
+    # Dirichlet posterior) starts above `min_credible_somatic_frequency`,
+    # and is vetoed when the normal sample's does too; the call posterior is
+    # additionally scaled by P(somatic frequency >= min_expected_somatic_
+    # frequency) (calculate_somatic_mass, cancer_caller.cpp:1352-1357)
+    min_expected_somatic_frequency: float = 0.01
+    somatic_credible_mass: float = 0.9
+    min_credible_somatic_frequency: float = 0.005
+    # --normal-contamination-risk HIGH skips the normal-sample somatic veto
+    # (the reference instead routes through a contaminated-normal noise
+    # model, cancer_caller.cpp:384-391,521-524; documented deviation)
+    normal_contamination_risk: str = "low"
 
 
 class CancerCaller(CallerBase):
@@ -131,10 +169,12 @@ class CancerCaller(CallerBase):
                 np.full(cfg.ploidy, cfg.somatic_normal_germline_concentration),
                 [cfg.somatic_normal_somatic_concentration]]).astype(np.float32)
             som_ev_by_t = np.zeros(len(tuples))
+            som_alphas_by_s = []
             for s in range(n_samples):
                 conc = conc_normal if s == cfg.normal_sample else conc_tumour
                 inf = vb.evaluate(tuples, ctx.lnL[s], alpha0_vec=conc)
                 som_ev_by_t += inf.genotype_log_evidences
+                som_alphas_by_s.append(np.asarray(inf.map_alphas))
             somatic_joint = np.asarray(cancer_prior) + som_ev_by_t
             somatic_ev = logsumexp(somatic_joint)
             somatic_post = np.exp(somatic_joint - somatic_ev)
@@ -150,14 +190,55 @@ class CancerCaller(CallerBase):
         model_post = np.exp(model_log_post)
 
         return self._make_calls(ctx, genotypes, germline_post, model_post,
-                                cancer_meta, somatic_post)
+                                cancer_meta, somatic_post,
+                                som_alphas_by_s if cancer_tuples else None)
+
+    def _somatic_vaf_gates(self, som_alphas_by_s, map_t):
+        """Somatic-VAF posterior statistics of the MAP cancer genotype.
+
+        Returns (conditional somatic mass = P(any sample's somatic frequency
+        >= min_expected_somatic_frequency), per-sample credible-region
+        qualification), per cancer_caller.cpp:753-775 (compute_credible_
+        somatic_mass) and :1235-1253 (vaf_stats credible-region checks)."""
+        from scipy.stats import beta as beta_dist
+        cfg = self.config
+        inv_mass = 1.0
+        qualifies = []
+        for alphas in som_alphas_by_s:
+            a = np.asarray(alphas[map_t], dtype=np.float64)
+            a_som = float(a[-1])
+            a_rest = float(a.sum()) - a_som
+            inv_mass *= float(beta_dist.cdf(
+                cfg.min_expected_somatic_frequency, a_som, a_rest))
+            lo, _ = beta_hdi(a_som, a_rest, cfg.somatic_credible_mass)
+            qualifies.append(lo >= cfg.min_credible_somatic_frequency)
+        return 1.0 - inv_mass, qualifies
 
     def _make_calls(self, ctx, genotypes, germline_post, model_post,
-                    cancer_meta, somatic_post) -> list[SiteCall]:
+                    cancer_meta, somatic_post, som_alphas_by_s=None) -> list[SiteCall]:
         cfg = self.config
         log_g = np.log(np.clip(germline_post, 1e-300, None))
         p_somatic_model = float(model_post[2])
+        somatic_samples = None
         somatic_wins = somatic_post is not None and p_somatic_model > 0.5
+        if somatic_wins and som_alphas_by_s is not None:
+            # model-level somatic posterior = P(somatic model) x P(somatic
+            # frequency >= min expected); gate vs --min-somatic-posterior
+            # (cancer_caller.cpp:1186-1199)
+            map_t = int(np.argmax(somatic_post))
+            mass, qualifies = self._somatic_vaf_gates(som_alphas_by_s, map_t)
+            somatic_posterior = p_somatic_model * mass
+            phred_model = -10 * math.log10(max(1 - somatic_posterior, 1e-300))
+            somatic_samples = [q and s != cfg.normal_sample
+                               for s, q in enumerate(qualifies)]
+            normal_veto = (cfg.normal_sample is not None
+                           and str(cfg.normal_contamination_risk).lower() != "high"
+                           and qualifies[cfg.normal_sample])
+            if (phred_model < cfg.min_somatic_posterior_phred
+                    or normal_veto or not any(somatic_samples)):
+                # keep the cancer-genotype germline call, but emit no
+                # somatic records (cancer_caller.cpp:1246-1267)
+                somatic_samples = [False] * len(qualifies)
         if somatic_wins:
             map_meta = cancer_meta[int(np.argmax(somatic_post))]
             map_g = genotypes[map_meta[0]]
@@ -177,7 +258,8 @@ class CancerCaller(CallerBase):
                     phred = phred_not(log_s[~germ_has])
                     if phred >= cfg.min_variant_posterior_phred:
                         called.append((v, phred))
-                elif has_v[map_meta[1]]:
+                elif has_v[map_meta[1]] and (somatic_samples is None
+                                             or any(somatic_samples)):
                     mass = float(np.exp(log_s[som_has & ~germ_has]).sum())
                     p_som = p_somatic_model * mass
                     phred_som = -10 * math.log10(max(1 - p_som, 1e-300))
@@ -192,10 +274,12 @@ class CancerCaller(CallerBase):
         out.extend(self._emit(ctx, genotypes, log_g, map_g, called, {}))
         if somatic_calls:
             out.extend(self._emit(ctx, genotypes, log_g, map_g, somatic_calls,
-                                  {"SOMATIC": True}))
+                                  {"SOMATIC": True},
+                                  somatic_samples=somatic_samples))
         return out
 
-    def _emit(self, ctx, genotypes, log_post, map_genotype, called, info):
+    def _emit(self, ctx, genotypes, log_post, map_genotype, called, info,
+              somatic_samples=None):
         if not called:
             return []
         site_groups = group_exclusive_sites([v for v, _ in called])
@@ -210,7 +294,13 @@ class CancerCaller(CallerBase):
                 # slot; the normal sample does NOT (it has only the germline
                 # genotype) — both for VCF semantics and so carrier-sample
                 # measures (AD/AF) are evaluated against tumour reads only
-                gts = [[0, 0] if s == self.config.normal_sample else [0, 0, 1]
+                # only samples whose somatic-VAF credible region qualifies
+                # carry the somatic allele (cancer_caller.cpp:1240-1253);
+                # the normal never does
+                gts = [[0, 0, 1] if (s != self.config.normal_sample
+                                     and (somatic_samples is None
+                                          or somatic_samples[s]))
+                       else [0, 0]
                        for s in range(n_samples)]
                 gqs = [quality_of[group[0]]] * n_samples
             else:

@@ -35,6 +35,10 @@ class PolycloneCallerConfig(BaseCallerConfig):
     max_clones: int = 3
     clonality_prior_decay: float = 0.5     # P(k) propto decay^(k-1)
     max_tuples_per_k: int = 200
+    # --clone-concentration: symmetric Dirichlet prior concentration of the
+    # clone mixture weights (polyclone_caller.cpp:627 make_sublone_model_
+    # mixture_prior_map; caller_builder.hpp:158 clone_concentration)
+    clone_concentration: float = 1.0
 
     def __post_init__(self):
         self.ploidy = 1
@@ -63,7 +67,9 @@ class PolycloneCaller(CallerBase):
                 score = hap_liks[tuples].sum(axis=1)
                 tuples = tuples[np.argsort(score)[::-1][:cfg.max_tuples_per_k]]
             prior = np.asarray([hap_priors[t].sum() for t in tuples])
-            inf = vb.evaluate(tuples, lnL, log_priors=prior)
+            inf = vb.evaluate(
+                tuples, lnL, log_priors=prior,
+                alpha0_vec=np.full(k, cfg.clone_concentration, np.float32))
             evidences[k] = inf.log_evidence
             model_latents[k] = (tuples, inf.genotype_posteriors, inf.map_alphas)
         ks = sorted(evidences)

@@ -16,6 +16,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+# The four default expressions below are verbatim copies of the reference's
+# CLI defaults (src/config/option_parser.cpp:730-744), diffed clause-by-clause
 DEFAULT_GERMLINE_EXPRESSION = (
     "QUAL < 10 | MQ < 10 | MP < 10 | AD < 1 | AF < 0.01 | AFB > 0.25 "
     "| SB > 0.98 | BQ < 15 | DP < 1 | ADP < 1"

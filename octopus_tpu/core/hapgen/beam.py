@@ -30,6 +30,7 @@ def grow_haplotypes_beam(
     max_haplotypes: int,
     likelihood_config: LikelihoodConfig | None = None,
     cache: dict | None = None,
+    flank_state=None,
 ) -> list[Haplotype]:
     """Haplotypes over [region_begin, region_end) considering ALL variants."""
     groups = group_exclusive_sites(variants)
@@ -40,7 +41,7 @@ def grow_haplotypes_beam(
             keep = max(max_haplotypes // len(opts), 2)
             paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
                                  reads_by_sample, keep, likelihood_config,
-                                 cache)
+                                 cache, flank_state)
         new_paths = []
         for p in paths:
             for v in opts:
@@ -54,7 +55,7 @@ def grow_haplotypes_beam(
     if len(paths) > max_haplotypes:
         paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
                              reads_by_sample, max_haplotypes,
-                             likelihood_config, cache)
+                             likelihood_config, cache, flank_state)
     haps = [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
     # sequence-identical paths (e.g. the same indel proposed at two anchors
     # inside a repeat, or equivalent variant compositions) are one haplotype
@@ -71,7 +72,7 @@ def grow_haplotypes_beam(
 
 
 def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
-                 likelihood_config, cache=None):
+                 likelihood_config, cache=None, flank_state=None):
     """Keep the `keep` best-supported paths (reference path protected)."""
     if len(paths) <= keep:
         return paths
@@ -85,6 +86,7 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
     haps = [Haplotype.build(begin, end, p, ref_fetch) for p in paths]
     arr = HaplotypeLikelihoodArray(likelihood_config or LikelihoodConfig())
     arr.populate(reads_by_sample, [h.sequence for h in haps], begin,
+                 flank_state=flank_state,
                  substitution_masks=[h.substitution_mask() for h in haps],
                  cache=cache)
     # score: assignment counts with SPLIT credit on ties (each read divides

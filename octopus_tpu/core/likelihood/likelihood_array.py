@@ -135,9 +135,8 @@ class HaplotypeLikelihoodArray:
         cache: optional raw-score memo shared across populate calls of one
         window (beam prune rounds re-score surviving paths every round, and
         the final populate re-scores the kept set). Keys are content hashes
-        of (haplotype sequence + offset, read); values the pre-mixture max
-        ln-likelihood. Only consulted when flank_state is None (flank
-        discounting changes raw scores).
+        of (haplotype sequence + offset, flank extents, read); values the
+        pre-mixture max ln-likelihood.
         """
         cfg = self.config
         pad = cfg.max_indel_error
@@ -147,12 +146,18 @@ class HaplotypeLikelihoodArray:
             for i, h in enumerate(haplotypes)
         ]
         indices = [self._kmer_index(h) for h in haplotypes]
-        if flank_state is not None:
-            cache = None
+        if flank_state is not None and flank_state.lhs_flank <= 0 \
+                and flank_state.rhs_flank <= 0:
+            flank_state = None
         hap_keys = None
         if cache is not None:
+            # flank discounting changes raw scores, so the flank extents are
+            # part of the cache key; beam prune rounds and the final populate
+            # of one window share the same flank state and still hit
+            fk = (0, 0) if flank_state is None else (flank_state.lhs_flank,
+                                                     flank_state.rhs_flank)
             hap_keys = [(haplotype_begin, len(h),
-                         zlib.crc32(h.tobytes())) for h in haplotypes]
+                         zlib.crc32(h.tobytes()), fk) for h in haplotypes]
         self.likelihoods = []
         for batch in reads_by_sample:
             self.likelihoods.append(
@@ -468,25 +473,66 @@ class HaplotypeLikelihoodArray:
         scores = np.concatenate([np.asarray(s)[:m] for m, s in pending])
         ln = -LN10_DIV_10 * scores.astype(np.float64)
 
-        # flank discount: host traceback for reads overlapping flanks
-        for k in flank_rows:
-            h = job_hap[k]
-            p = penalties[h]
-            rev = is_rev[job_read[k]]
-            params = ph.HmmParams(
-                gap_open=p.gap_open, gap_extend=p.gap_extend,
-                snv_mask=(p.snv_mask_rev if rev else p.snv_mask_fwd),
-                snv_prior=(p.snv_prior_rev if rev else p.snv_prior_fwd),
-                nuc_prior=cfg.nuc_prior,
-                lhs_flank=flank_state.lhs_flank,
-                rhs_flank=flank_state.rhs_flank,
-            )
-            rl = int(job_lens[k])
-            ln[k] = ph.hmm_evaluate(
-                p.codes, tgt[k, :rl].astype(np.uint8), quals[k, :rl].astype(np.uint8),
-                int(job_pos[k]), params, pad=pad,
-            )
+        # flank discount: traceback-and-subtract for reads overlapping flanks
+        # (simd_pair_hmm.hpp:352-430). Batched through the native extension;
+        # per-read python golden path as fallback.
+        if flank_rows:
+            rows = np.asarray(flank_rows, np.int64)
+            corrected = self._flank_corrected_scores(
+                rows, penalties, job_hap, job_read, job_pos, job_lens,
+                flank_state, pad, is_rev, tgt_i, qual_i,
+                win, opn, ext, mask, prior, L, W)
+            if corrected is not None:
+                ln[rows] = -LN10_DIV_10 * corrected.astype(np.float64)
+            else:
+                for k in flank_rows:
+                    h = job_hap[k]
+                    p = penalties[h]
+                    rev = is_rev[job_read[k]]
+                    params = ph.HmmParams(
+                        gap_open=p.gap_open, gap_extend=p.gap_extend,
+                        snv_mask=(p.snv_mask_rev if rev else p.snv_mask_fwd),
+                        snv_prior=(p.snv_prior_rev if rev else p.snv_prior_fwd),
+                        nuc_prior=cfg.nuc_prior,
+                        lhs_flank=flank_state.lhs_flank,
+                        rhs_flank=flank_state.rhs_flank,
+                    )
+                    rl = int(job_lens[k])
+                    ln[k] = ph.hmm_evaluate(
+                        p.codes, tgt[k, :rl].astype(np.uint8),
+                        quals[k, :rl].astype(np.uint8),
+                        int(job_pos[k]), params, pad=pad,
+                    )
         return ln
+
+    def _flank_corrected_scores(self, rows, penalties, job_hap, job_read,
+                                job_pos, job_lens, flank_state, pad, is_rev,
+                                tgt_i, qual_i, win, opn, ext, mask, prior,
+                                L, W):
+        """Flank-corrected phred scores for the given job rows via the
+        native batched banded-align (returns None without the extension)."""
+        try:
+            from octopus_tpu import _native
+        except ImportError:
+            return None
+        if not hasattr(_native, "flank_banded_scores"):
+            return None
+        n = len(rows)
+        hap_lens = np.asarray([len(penalties[h].codes)
+                               for h in job_hap[rows]], np.int32)
+        offsets = np.maximum(job_pos[rows] - pad, 0).astype(np.int64)
+        lens = job_lens[rows].astype(np.int32)
+        w_rows = lens + 2 * pad - 1
+        lhs_w = np.maximum(flank_state.lhs_flank - offsets, 0).astype(np.int32)
+        rhs_w = np.maximum(flank_state.rhs_flank + offsets + w_rows
+                           - hap_lens, 0).astype(np.int32)
+        c = np.ascontiguousarray
+        raw = _native.flank_banded_scores(
+            int(n), int(L), int(W), int(pad), int(self.config.nuc_prior),
+            c(tgt_i[rows]), c(qual_i[rows]), c(win[rows]), c(opn[rows]),
+            c(ext[rows]), c(mask[rows]), c(prior[rows]),
+            c(lens), c(lhs_w), c(rhs_w))
+        return np.frombuffer(raw, np.int32)
 
 
 __all__ = [

@@ -45,6 +45,15 @@ class AssemblerOptions:
     min_bubble_score: float = 2.0
     max_variant_size: int = 5000
     max_path_extension: int = 700
+    # fallback kmer sizes (local_reassembler.cpp:38-49): when every default
+    # kmer size fails on a bin (ambiguous reference), grow k from the
+    # largest default in `fallback_interval_size` steps, up to
+    # `num_fallbacks` attempts (--max-fallback-kmers / --fallback-kmer-gap)
+    num_fallbacks: int = 10
+    fallback_interval_size: int = 10
+    # --assemble-all: assemble every bin, not only signal-bearing ones
+    # (option_collation.cpp:1383)
+    assemble_all: bool = False
     # total heap-push budget for the best-first bubble search: dense graphs
     # (many weight-tied error branches) can otherwise enumerate simple paths
     # combinatorially. The reference bounds this with Yen k-shortest-paths +
@@ -309,7 +318,11 @@ class LocalReassembler:
             # with indels or good soft clips at >= min_expected_mutation_
             # frequency of local coverage; assembler_active_region_
             # generator.hpp Options)
-            if n_over >= 2 and n_int >= max(2.0, 0.05 * n_over):
+            if opt.assemble_all and n_over >= 2:
+                over = batch.take(sel)
+                for v in self._assemble_bin(over, pos, bin_end):
+                    out.setdefault(v)
+            elif n_over >= 2 and n_int >= max(2.0, 0.05 * n_over):
                 over = batch.take(sel)
                 for v in self._assemble_bin(over, pos, bin_end):
                     out.setdefault(v)
@@ -376,12 +389,21 @@ class LocalReassembler:
             seq[batch.qualities(i) < opt.mask_threshold] = 4
             masked_reads.append(seq.tobytes())
         out: list[Variant] = []
-        for k in opt.kmer_sizes:
+        assembled_any = False
+        # default sizes first; if every default k is ambiguous on this bin,
+        # grow k through the fallback ladder until one succeeds
+        # (local_reassembler.cpp:38-49 generate_fallback_kmer_sizes)
+        fallbacks = [max(opt.kmer_sizes) + (i + 1) * opt.fallback_interval_size
+                     for i in range(opt.num_fallbacks)]
+        for tier, k in enumerate([*opt.kmer_sizes, *fallbacks]):
+            if tier >= len(opt.kmer_sizes) and assembled_any:
+                break
             if len(ref_bytes) < k + 1:
                 continue
             bubbles = assemble_bubbles(ref_bytes, masked_reads, k, opt)
             if bubbles is None:
                 continue
+            assembled_any = True
             for start_i, end_i, alt_bytes, score in bubbles:
                 # reference segment covered by the bubble: ref node span is
                 # positions [start_i, end_i + k - 1)

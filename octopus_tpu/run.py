@@ -231,6 +231,10 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
                 somatic_snv_prior=arg("somatic_snv_prior", 1e-4),
                 somatic_indel_prior=arg("somatic_indel_prior", 1e-6),
                 tumour_germline_concentration=arg("tumour_germline_concentration", 1.5),
+                min_expected_somatic_frequency=arg("min_expected_somatic_frequency", 0.01),
+                somatic_credible_mass=arg("somatic_credible_mass", 0.9),
+                min_credible_somatic_frequency=arg("min_credible_somatic_frequency", 0.005),
+                normal_contamination_risk=str(arg("normal_contamination_risk", "LOW") or "LOW"),
             )
         return CancerCaller(reference, contig,
                             specialise(CancerCallerConfig, **extra))
@@ -304,6 +308,23 @@ def run_calling(args) -> int:
             regions = [parse_region(l.strip(), reference) for l in fh if l.strip()]
     else:
         regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
+        # the reference refuses whole-genome runs when reference contigs are
+        # absent from every read file unless --ignore-unmapped-contigs
+        # (calling_components.cpp:248,755 all_reference_contigs_mapped)
+        mapped = set()
+        for b in bams:
+            hdr = getattr(b, "header", None)
+            mapped.update(getattr(hdr, "ref_names", None) or [])
+        unmapped = [c for c, _, _ in regions if mapped and c not in mapped]
+        if unmapped:
+            if getattr(args, "ignore_unmapped_contigs", False):
+                regions = [r for r in regions if r[0] not in unmapped]
+            else:
+                print("octopus-tpu: reference contigs missing from read "
+                      f"files: {unmapped[:5]}{'...' if len(unmapped) > 5 else ''} "
+                      "(pass --ignore-unmapped-contigs to skip them)",
+                      file=sys.stderr)
+                return 2
     skip = [parse_region(r, reference) for r in getattr(args, "skip_regions", None) or []]
     if getattr(args, "skip_regions_file", None):
         with open(args.skip_regions_file) as fh:
@@ -398,6 +419,12 @@ def run_calling(args) -> int:
         records = _call_window(window, reference, bams, samples, pipe, csr,
                                caller_cache, caller_kind, caller_config, args,
                                refcall_mode, annotations)
+        # --somatics-only / --denovos-only restrict emission to flagged
+        # records (option_collation.cpp:2368-2396)
+        if getattr(args, "somatics_only", False):
+            records = [r for r in records if r.info.get("SOMATIC")]
+        if getattr(args, "denovos_only", False):
+            records = [r for r in records if r.info.get("DENOVO")]
         if getattr(args, "sites_only", False):
             for r in records:
                 r.format_keys = []
@@ -450,6 +477,17 @@ def run_calling(args) -> int:
     merge_sorted(shard_paths, out_path, header,
                  _contig_order(reference, getattr(args, "contig_output_order",
                                                   "REFERENCE_INDEX")))
+    if getattr(args, "keep_unfiltered_calls", False) and args.output:
+        # copy of the calls with CSR FILTER decisions cleared
+        # (option_collation.cpp:2431 keep-unfiltered-calls)
+        unf_path = str(args.output) + ".unfiltered.vcf"
+        reader = VcfReader(out_path)
+        with VcfWriter(unf_path, reader.header) as w:
+            for rec in reader:
+                rec.filters = []
+                w.write(rec)
+        print(f"octopus-tpu: unfiltered calls kept at {unf_path}",
+              file=sys.stderr)
     if str(out_path).endswith(".gz"):
         # index the final bgzipped output, as the reference does
         # (vcf_utils::index_vcf on every written VCF, octopus.cpp)
@@ -573,7 +611,7 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     apply_spanning_alleles(pairs)
     if refcall_mode:
         records.extend(_refcall_records(window, reference, merged, calls,
-                                        samples, refcall_mode))
+                                        samples, refcall_mode, cli_args))
         records.sort(key=lambda r: r.pos)
     return records
 
@@ -627,7 +665,8 @@ def _order_trio(batches, samples, cli_args):
     return batches
 
 
-def _refcall_records(window, reference, batch, calls, samples, mode):
+def _refcall_records(window, reference, batch, calls, samples, mode,
+                     args=None):
     from .io.vcf import VcfRecord
     from .basics.sequence import decode_sequence
     import numpy as np
@@ -637,9 +676,18 @@ def _refcall_records(window, reference, batch, calls, samples, mode):
         lo = max(c.begin - window.begin, 0)
         hi = min(max(c.end, c.begin + 1) - window.begin, len(called_mask))
         called_mask[lo:hi] = True
+    # --refcall-block-merge-quality / --max-refcall-posterior
+    # (option_collation.cpp:2179-2188)
+    cfg = RefcallConfig(mode=mode)
+    if args is not None:
+        merge_q = getattr(args, "refcall_block_merge_quality", None)
+        if merge_q is not None:
+            cfg.block_quality_quantum = max(int(merge_q), 1)
+        max_post = getattr(args, "max_refcall_posterior", None)
+        if max_post is not None:
+            cfg.max_quality = int(max_post)
     blocks = make_refcall_blocks(batch, window.begin, window.end, ref_codes,
-                                 called_mask,
-                                 RefcallConfig(mode=mode))
+                                 called_mask, cfg)
     out = []
     for b in blocks:
         base = decode_sequence(ref_codes[b.begin - window.begin:

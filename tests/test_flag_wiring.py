@@ -1,0 +1,142 @@
+"""Tests for CLI flags wired in round 2: somatic VAF credible gating,
+fallback kmer sizes, assemble-all, output-restriction flags, and the
+unmapped-contig check.
+
+Reference semantics cited per test (cancer_caller.cpp, local_reassembler.cpp,
+option_collation.cpp)."""
+
+import numpy as np
+import pytest
+
+from octopus_tpu.core.callers.cancer import (
+    CancerCaller, CancerCallerConfig, beta_hdi)
+from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+from tests.test_population_caller import make_reference, sample_reads, other
+from tests.test_cancer_polyclone import mixed_reads
+
+
+def test_beta_hdi_matches_reference_cases():
+    # skewed case = equal-tailed interval (maths.hpp:1019-1025)
+    from scipy.stats import beta as beta_dist
+    lo, hi = beta_hdi(5.0, 20.0, 0.9)
+    assert lo == pytest.approx(float(beta_dist.ppf(0.05, 5, 20)))
+    assert hi == pytest.approx(float(beta_dist.ppf(0.95, 5, 20)))
+    # symmetric
+    lo, hi = beta_hdi(3.0, 3.0, 0.5)
+    assert lo == pytest.approx(1 - hi)
+    # uniform
+    assert beta_hdi(1.0, 1.0, 0.8) == (pytest.approx(0.1), pytest.approx(0.9))
+    # J shapes
+    assert beta_hdi(1.0, 9.0, 0.9)[0] == 0.0
+    assert beta_hdi(9.0, 1.0, 0.9)[1] == 1.0
+    # mass 0 collapses to the mean
+    lo, hi = beta_hdi(2.0, 6.0, 0.0)
+    assert lo == hi == pytest.approx(0.25)
+
+
+def _cancer_scene(seed, tumour_fraction=0.25, normal_fraction=0.0):
+    ref, seq = make_reference(seed=seed)
+    alt = other(seq[300])
+    tumour = mixed_reads(seq, [({300: alt}, tumour_fraction),
+                               ({}, 1 - tumour_fraction)],
+                         seed=seed + 1, n_reads=300)
+    if normal_fraction > 0:
+        normal = mixed_reads(seq, [({300: alt}, normal_fraction),
+                                   ({}, 1 - normal_fraction)],
+                             seed=seed + 2, n_reads=200)
+    else:
+        normal = sample_reads(seq, ({}, {}), seed=seed + 2, n_reads=150)
+    return ref, seq, tumour, normal
+
+
+def _cancer_cfg(**kw):
+    cfg = CancerCallerConfig(use_device=False, normal_sample=1, **kw)
+    cfg.scanner.inclusion = "somatic"
+    cfg.scanner.normal_sample = 1
+    return cfg
+
+
+def test_min_credible_somatic_frequency_gates_calls():
+    # a 25% VAF somatic passes the default 0.005 floor but cannot have a
+    # credible region above 0.60 (cancer_caller.cpp:1246 vaf_stats gate)
+    ref, seq, tumour, normal = _cancer_scene(60)
+    calls = CancerCaller(ref, "chr1", _cancer_cfg()).call(
+        0, 600, [tumour, normal])
+    assert [c for c in calls if c.info.get("SOMATIC")]
+    strict = _cancer_cfg(min_credible_somatic_frequency=0.60)
+    calls = CancerCaller(ref, "chr1", strict).call(0, 600, [tumour, normal])
+    assert not [c for c in calls if c.info.get("SOMATIC")]
+
+
+def test_contaminated_normal_vetoes_somatic_call():
+    # the variant is present at similar fraction in the normal: the normal
+    # sample's somatic credible region qualifies, killing the somatic call
+    # (cancer_caller.cpp:1247-1250)
+    ref, seq, tumour, normal = _cancer_scene(61, tumour_fraction=0.3,
+                                             normal_fraction=0.3)
+    calls = CancerCaller(ref, "chr1", _cancer_cfg()).call(
+        0, 600, [tumour, normal])
+    assert not [c for c in calls if c.info.get("SOMATIC")]
+
+
+def test_fallback_kmer_sizes_rescue_ambiguous_bins():
+    """A bin whose reference repeats defeat every default kmer size
+    assembles at a fallback size (local_reassembler.cpp:38-49)."""
+    from octopus_tpu.core.vargen.assembler import (
+        AssemblerOptions, LocalReassembler)
+    from octopus_tpu.io.fasta import InMemoryReference, ReferenceGenome
+
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[c] for c in rng.integers(0, 4, 26))
+    flank_l = "".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+    flank_r = "".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+    # two copies of a 26bp unit: every k <= 26 sees duplicate kmers in the
+    # reference -> ambiguous at default sizes (10, 15, 20)
+    seq = flank_l + unit + unit + flank_r
+    ref = ReferenceGenome(InMemoryReference({"chr1": seq}))
+    # somatic-style SNV inside the second unit copy
+    pos = len(flank_l) + 26 + 13
+    alt_seq = seq[:pos] + other(seq[pos]) + seq[pos + 1:]
+    reads = []
+    read_len = 80
+    for i in range(60):
+        begin = int(rng.integers(0, len(seq) - read_len))
+        src = alt_seq if i % 2 == 0 else seq
+        reads.append((begin, f"{read_len}M", src[begin:begin + read_len],
+                      [37] * read_len, 60, 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+
+    no_fallback = AssemblerOptions(num_fallbacks=0, assemble_all=True)
+    vs = LocalReassembler(ref, "chr1", no_fallback).generate(
+        batch, 0, len(seq))
+    assert not [v for v in vs if v.begin == pos]
+
+    with_fallback = AssemblerOptions(num_fallbacks=2,
+                                     fallback_interval_size=10,
+                                     assemble_all=True)
+    vs = LocalReassembler(ref, "chr1", with_fallback).generate(
+        batch, 0, len(seq))
+    assert [v for v in vs if v.begin == pos]
+
+
+def test_unmapped_contig_check(tmp_path):
+    """Whole-genome runs refuse reference contigs absent from the read
+    files unless --ignore-unmapped-contigs (calling_components.cpp:755)."""
+    from octopus_tpu.cli import build_parser
+    from octopus_tpu.run import run_calling
+    from octopus_tpu.utils.synthetic import simulate_diploid
+
+    fa, bam, truth, n = simulate_diploid(str(tmp_path), kb=4, depth=8, seed=9)
+    # append an extra contig to the FASTA that no BAM covers
+    with open(fa, "a") as fh:
+        fh.write(">chrEXTRA\n" + "ACGT" * 300 + "\n")
+    fai = fa + ".fai"
+    if __import__("os").path.exists(fai):
+        __import__("os").unlink(fai)
+    out = str(tmp_path / "out.vcf")
+    argv = ["-R", fa, "-I", bam, "-o", out]
+    assert run_calling(build_parser().parse_args(argv)) == 2
+    argv += ["--ignore-unmapped-contigs"]
+    assert run_calling(build_parser().parse_args(argv)) == 0
+    text = open(out).read()
+    assert "chrEXTRA" not in text.split("#CHROM")[1]
