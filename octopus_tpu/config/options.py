@@ -223,9 +223,10 @@ def build_parser() -> argparse.ArgumentParser:
     caller.add_argument("--dont-model-mapping-quality", action="store_true")
     caller.add_argument("--sequence-error-model", default="PCR-FREE.HISEQ-2500")
     caller.add_argument("--max-vb-seeds", type=int, default=12)
-    caller.add_argument("--max-indel-errors", type=int, default=8,
-                        help="pair-HMM band size (reference default 16; 8 "
-                             "matches one VMEM tile and covers Illumina data)")
+    caller.add_argument("--max-indel-errors", type=int, default=16,
+                        help="pair-HMM band-size ceiling (reference default "
+                             "16); each calling context selects the smallest "
+                             "band {8,16,32} covering its candidate indels")
     caller.add_argument("--use-wide-hmm-scores", action="store_true",
                         help="accepted; the TPU kernel always carries 32-bit scores")
     caller.add_argument("--read-linkage", default="PAIRED",

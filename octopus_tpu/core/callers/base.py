@@ -30,7 +30,8 @@ from ..hapgen.generator import (
 from ..likelihood.likelihood_array import (FlankState,
                                            HaplotypeLikelihoodArray,
                                            LikelihoodConfig,
-                                           ShortHaplotypeError)
+                                           ShortHaplotypeError,
+                                           select_band)
 from ..models.coalescent import CoalescentModel, CoalescentParams
 from ..models.individual import logsumexp
 from ..tools.phaser import Phaser
@@ -305,13 +306,14 @@ class CallerBase:
         # their mismatches via the flank state (caller.cpp:1121-1157)
         flank = self._flank_state(hap_begin, hap_end, begin, end,
                                   all_candidates or variants)
+        band = select_band(variants, cfg.likelihood.max_indel_error)
         if n_options > cfg.max_haplotypes:
             from ..hapgen.beam import grow_haplotypes_beam
             haplotypes = grow_haplotypes_beam(
                 hap_begin, hap_end, variants, fetch, active,
                 cfg.max_haplotypes, cfg.likelihood,
                 cache=getattr(self, "_score_cache", None),
-                flank_state=flank)
+                flank_state=flank, pad=band)
         else:
             haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants,
                                               fetch, cfg.max_haplotypes)
@@ -319,12 +321,13 @@ class CallerBase:
             return None
         try:
             return self._finish_context(begin, end, variants, haplotypes,
-                                        active, flank_state=flank)
+                                        active, flank_state=flank, pad=band)
         except ShortHaplotypeError:
             return None
 
     def _finish_context(self, begin, end, variants, haplotypes,
-                        active, flank_state=None) -> ActiveRegionContext | None:
+                        active, flank_state=None,
+                        pad=None) -> ActiveRegionContext | None:
         cfg = self.config
         hap_begin = haplotypes[0].begin
         hap_end = haplotypes[0].end
@@ -333,7 +336,9 @@ class CallerBase:
         lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
                      flank_state=flank_state,
                      substitution_masks=[h.substitution_mask() for h in haplotypes],
-                     cache=getattr(self, "_score_cache", None))
+                     cache=getattr(self, "_score_cache", None),
+                     pad=pad if pad is not None
+                     else select_band(variants, cfg.likelihood.max_indel_error))
         matrices = [lik.sample_matrix(s) for s in range(len(active))]
         if cfg.read_linkage in ("paired", "linked"):
             # AlignedTemplate joint scoring: linked reads' log-likelihoods sum

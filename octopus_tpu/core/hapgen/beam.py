@@ -31,6 +31,7 @@ def grow_haplotypes_beam(
     likelihood_config: LikelihoodConfig | None = None,
     cache: dict | None = None,
     flank_state=None,
+    pad: int | None = None,
 ) -> list[Haplotype]:
     """Haplotypes over [region_begin, region_end) considering ALL variants."""
     groups = group_exclusive_sites(variants)
@@ -41,7 +42,7 @@ def grow_haplotypes_beam(
             keep = max(max_haplotypes // len(opts), 2)
             paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
                                  reads_by_sample, keep, likelihood_config,
-                                 cache, flank_state)
+                                 cache, flank_state, pad)
         new_paths = []
         for p in paths:
             for v in opts:
@@ -55,7 +56,7 @@ def grow_haplotypes_beam(
     if len(paths) > max_haplotypes:
         paths = _prune_paths(paths, region_begin, region_end, ref_fetch,
                              reads_by_sample, max_haplotypes,
-                             likelihood_config, cache, flank_state)
+                             likelihood_config, cache, flank_state, pad)
     haps = [Haplotype.build(region_begin, region_end, p, ref_fetch) for p in paths]
     # sequence-identical paths (e.g. the same indel proposed at two anchors
     # inside a repeat, or equivalent variant compositions) are one haplotype
@@ -72,7 +73,7 @@ def grow_haplotypes_beam(
 
 
 def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
-                 likelihood_config, cache=None, flank_state=None):
+                 likelihood_config, cache=None, flank_state=None, pad=None):
     """Keep the `keep` best-supported paths (reference path protected)."""
     if len(paths) <= keep:
         return paths
@@ -88,7 +89,7 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
     arr.populate(reads_by_sample, [h.sequence for h in haps], begin,
                  flank_state=flank_state,
                  substitution_masks=[h.substitution_mask() for h in haps],
-                 cache=cache)
+                 cache=cache, pad=pad)
     # score: assignment counts with SPLIT credit on ties (each read divides
     # its vote among the tied paths), tiebroken by total likelihood.  Full
     # credit on ties would let partial paths free-ride on reads they explain

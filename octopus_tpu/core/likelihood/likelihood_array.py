@@ -69,6 +69,28 @@ def warm_kernels(read_lengths=(150,), pad: int = 8) -> None:
                 np.zeros((B, W), np.int32), pad=pad)
 
 
+BAND_BUCKETS = (8, 16, 32)
+
+
+def select_band(variants, max_indel_error: int) -> int:
+    """Pair-HMM band (pad) for one calling context.
+
+    The smallest bucket strictly wider than the longest candidate indel
+    (band b tolerates net in-read drift of b-1), capped by
+    --max-indel-errors rounded up to a bucket. The reference picks ONE
+    config-wide band (simd_pair_hmm_wrapper.hpp:43-95, default 16); we
+    select per context so SNV-only regions run the narrow fast kernel while
+    long-indel regions escalate to 16/32 — same scores wherever the narrow
+    band suffices, reference scores where it doesn't."""
+    cap = next((b for b in BAND_BUCKETS if b >= max_indel_error),
+               BAND_BUCKETS[-1])
+    longest = 0
+    for v in variants:
+        longest = max(longest, abs(len(v.ref) - len(v.alt)))
+    need = next((b for b in BAND_BUCKETS if b > longest), BAND_BUCKETS[-1])
+    return min(need, cap)
+
+
 @dataclass
 class LikelihoodConfig:
     """Mirrors HaplotypeLikelihoodModel::Config (haplotype_likelihood_model.hpp:36-44)."""
@@ -77,7 +99,9 @@ class LikelihoodConfig:
     mapping_quality_cap: int = 120
     mapping_quality_cap_trigger: int | None = None
     use_flank_state: bool = True
-    max_indel_error: int = 8          # == pair-HMM band size / pad
+    # --max-indel-errors: band-size ceiling (reference default 16,
+    # option_parser.cpp:579-581); actual band per context via select_band
+    max_indel_error: int = 16
     error_model: str = "PCR-FREE.HISEQ-2500"
     length_bucket: int = 32           # read-length bucket granularity
     nuc_prior: int = 2
@@ -126,6 +150,7 @@ class HaplotypeLikelihoodArray:
         flank_state: FlankState | None = None,
         substitution_masks: list[np.ndarray] | None = None,
         cache: dict | None = None,
+        pad: int | None = None,
     ) -> "HaplotypeLikelihoodArray":
         """Score every read of every sample against every haplotype.
 
@@ -139,7 +164,8 @@ class HaplotypeLikelihoodArray:
         pre-mixture max ln-likelihood.
         """
         cfg = self.config
-        pad = cfg.max_indel_error
+        if pad is None:
+            pad = cfg.max_indel_error
         self._n_haplotypes = len(haplotypes)
         penalties = [
             self._haplotype_penalties(h, None if substitution_masks is None else substitution_masks[i])
@@ -157,7 +183,7 @@ class HaplotypeLikelihoodArray:
             fk = (0, 0) if flank_state is None else (flank_state.lhs_flank,
                                                      flank_state.rhs_flank)
             hap_keys = [(haplotype_begin, len(h),
-                         zlib.crc32(h.tobytes()), fk) for h in haplotypes]
+                         zlib.crc32(h.tobytes()), fk, pad) for h in haplotypes]
         self.likelihoods = []
         for batch in reads_by_sample:
             self.likelihoods.append(

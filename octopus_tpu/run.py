@@ -474,6 +474,7 @@ def run_calling(args) -> int:
                     done[w.key] = res["result"]["shard"]
     shard_paths = [done[w.key] for w in windows if w.key in done
                    and os.path.exists(done[w.key])]
+    _reconcile_shards(windows, done, reference, header)
     merge_sorted(shard_paths, out_path, header,
                  _contig_order(reference, getattr(args, "contig_output_order",
                                                   "REFERENCE_INDEX")))
@@ -564,7 +565,11 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     records = []
     pairs = []
     for call in calls:
-        if not (window.begin <= call.begin < window.end):
+        # keep seam overhang on the LEFT: a call can left-align below
+        # window.begin (repeat-spanning indels); the shard reconciliation
+        # pass resolves duplicates with the previous window
+        # (resolve_connecting_calls, octopus.cpp:950-1015)
+        if not (call.begin < window.end):
             continue
         record = site_call_to_record(call, window.contig, reference)
         pairs.append((call, record))
@@ -663,6 +668,38 @@ def _order_trio(batches, samples, cli_args):
                  samples.index(child)]
         return [batches[i] for i in order]
     return batches
+
+
+def _reconcile_shards(windows, done, reference, header) -> None:
+    """Resolve seam conflicts between adjacent completed windows' shards
+    (resolve_connecting_calls, octopus.cpp:950-1015): rewrite both shard
+    files whenever the boundary trimmed either side."""
+    from .core.tools.reconcile import resolve_connecting_records
+    ordered = [w for w in windows if w.key in done
+               and os.path.exists(done[w.key])]
+    for lhs_w, rhs_w in zip(ordered, ordered[1:]):
+        if lhs_w.contig != rhs_w.contig:
+            continue
+        lhs_recs = list(VcfReader(done[lhs_w.key]))
+        rhs_recs = list(VcfReader(done[rhs_w.key]))
+        if not lhs_recs or not rhs_recs:
+            continue
+
+        def fetch_base(pos0, contig=lhs_w.contig):
+            from .basics.sequence import decode_sequence
+            return decode_sequence(
+                reference.fetch_codes(contig, pos0, pos0 + 1)) or "N"
+
+        new_lhs, new_rhs = resolve_connecting_records(
+            lhs_recs, rhs_recs, fetch_base)
+        if len(new_lhs) != len(lhs_recs):
+            with VcfWriter(done[lhs_w.key], header) as w:
+                for r in new_lhs:
+                    w.write(r)
+        if new_rhs != rhs_recs:
+            with VcfWriter(done[rhs_w.key], header) as w:
+                for r in new_rhs:
+                    w.write(r)
 
 
 def _refcall_records(window, reference, batch, calls, samples, mode,

@@ -74,6 +74,7 @@ int main() {
         switch (pad) {
             case 8:  score = run_case<8>(truth, target, quals, gov, gev, mask, prior, use_snv, nuc_prior); break;
             case 16: score = run_case<16>(truth, target, quals, gov, gev, mask, prior, use_snv, nuc_prior); break;
+            case 32: score = run_case<32>(truth, target, quals, gov, gev, mask, prior, use_snv, nuc_prior); break;
             default: std::printf("skip\n"); continue;
         }
         std::printf("%d\n", score);

@@ -101,6 +101,8 @@ int main() {
             score = run_case<8>(truth, target, quals, go, ge, mask, prior, use_snv, nuc_prior, lhs, rhs);
         } else if (pad == 16) {
             score = run_case<16>(truth, target, quals, go, ge, mask, prior, use_snv, nuc_prior, lhs, rhs);
+        } else if (pad == 32) {
+            score = run_case<32>(truth, target, quals, go, ge, mask, prior, use_snv, nuc_prior, lhs, rhs);
         } else {
             std::printf("skip\n");
             continue;
