@@ -141,16 +141,83 @@ class FacetBundle:
 
     def allele_support(self, variant: Variant) -> list:
         """Per sample: reads assigned to alt-carrying haplotypes."""
-        alt_haps = [i for i, h in enumerate(self.called_haplotypes)
-                    if any(v.begin == variant.begin and v.alt == variant.alt
-                           for v in h.variants)]
+        return [alt for alt, _ in self.allele_support_context(variant)]
+
+    def allele_support_context(self, variant: Variant) -> list:
+        """Per sample (alt_assigned, assigned_depth) among reads overlapping
+        the variant, from HMM read-to-haplotype assignment — the reference's
+        AD/ADP/AF source (read_assignments.hpp:25-34, allele_depth.cpp)."""
+        alt_haps = sorted(
+            i for i, h in enumerate(self.called_haplotypes)
+            if any(v.begin == variant.begin and v.alt == variant.alt
+                   for v in h.variants))
+        vb = variant.begin
+        ve = max(variant.end, variant.begin + 1)
         out = []
-        for a in self.read_assignments:
-            if a is None:
-                out.append(0)
-            else:
-                out.append(int(np.isin(a.hap_of_read, alt_haps).sum()))
+        for b, a in zip(self.overlapping_reads, self.read_assignments):
+            if a is None or not len(b):
+                out.append((0, 0))
+                continue
+            over = (b.begins < ve) & (b.ends > vb)
+            assigned = over & (a.hap_of_read >= 0)
+            alt = assigned & np.isin(a.hap_of_read, alt_haps)
+            out.append((int(alt.sum()), int(assigned.sum())))
         return out
+
+    def mean_likelihoods(self, begin: int, end: int) -> list:
+        """Per sample: mean phred of assigned-read likelihoods over the
+        call region, per called haplotype (mean_likelihood.cpp MHL)."""
+        from ...basics.phred import LN10_DIV_10
+        out = []
+        end = max(end, begin + 1)
+        for b, a in zip(self.overlapping_reads, self.read_assignments):
+            if a is None or a.log_likelihoods is None or not len(b):
+                out.append(None)
+                continue
+            over = (b.begins < end) & (b.ends > begin)
+            per_hap = []
+            for h in range(len(self.called_haplotypes)):
+                sel = over & (a.hap_of_read == h)
+                if sel.any():
+                    phreds = a.log_likelihoods[sel] / -LN10_DIV_10
+                    per_hap.append(float(np.mean(phreds)))
+            out.append(max(per_hap) if per_hap else None)
+        return out
+
+    def duplicate_concordance(self, variant: Variant) -> float | None:
+        """Fraction of duplicate read groups overlapping the call whose
+        members agree on carrying/not-carrying the alt
+        (duplicate_concordance.cpp DC). None when no duplicate groups exist
+        — the usual case after preprocessing removes duplicates."""
+        from .measures import _read_supports
+        vb = variant.begin
+        ve = max(variant.end, variant.begin + 1)
+        alt_codes = np.frombuffer(variant.alt, np.uint8)
+        n_groups = 0
+        n_concordant = 0
+        for b in self.overlapping_reads:
+            if not len(b):
+                continue
+            sub = b.take((b.begins < ve) & (b.ends > vb))
+            if not len(sub):
+                continue
+            keys: dict = {}
+            for i in range(len(sub)):
+                sup, _, _ = _read_supports(sub, i, vb, variant.end,
+                                           alt_codes,
+                                           variant.is_insertion(),
+                                           variant.is_deletion(), 0)
+                key = (int(sub.begins[i]), int(sub.ends[i]),
+                       int(sub.flags[i]) & 0x10)
+                keys.setdefault(key, []).append(bool(sup))
+            for members in keys.values():
+                if len(members) > 1:
+                    n_groups += 1
+                    if len(set(members)) == 1:
+                        n_concordant += 1
+        if n_groups == 0:
+            return None
+        return n_concordant / n_groups
 
 
 __all__ = ["FacetBlock", "FacetBundle"]

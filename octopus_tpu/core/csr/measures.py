@@ -284,7 +284,8 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
                      ref_codes=None, ref_begin: int = 0,
                      pipe_report=None, normal_batch: ReadBatch | None = None,
                      phase_length: int | None = None,
-                     reads_by_sample: list | None = None) -> dict:
+                     reads_by_sample: list | None = None,
+                     facets=None) -> dict:
     """The full measure dict for one SiteCall against the sample's reads.
 
     With `reads_by_sample` (parallel to call.genotypes), the allele-support
@@ -422,7 +423,9 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     out["PPP"] = call.info.get("PPP")
     out["SHC"] = call.info.get("SHC", int(bool(call.info.get("SOMATIC"))))
     out["MHL"] = call.info.get("MHL")
-    out["CC"] = call.info.get("CC")
+    # CC = posterior / quality (classification_confidence.cpp:25-38)
+    out["CC"] = (out["PP"] / out["QUAL"] if out["QUAL"] and out["QUAL"] > 0
+                 else 0.0)
     out["PLN"] = phase_length if phase_length is not None else call.info.get("PLN", 0)
     # contamination measures
     if normal_batch is not None and len(normal_batch):
@@ -431,8 +434,45 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
         out["NC"] = nctx.alt_depth
     else:
         out["NC"] = 0
-    out["DC"] = call.info.get("DC", 0)
+    out["DC"] = call.info.get("DC")
+    if facets is not None:
+        _apply_facet_measures(out, call, v, facets)
     return {k: val for k, val in out.items() if val is not None}
+
+
+def _apply_facet_measures(out: dict, call, v, facets) -> None:
+    """Override the pileup-based support measures with HMM read-to-haplotype
+    assignment facets (read_assignments.hpp:25-34): AD/ADP/AF come from
+    assigned reads (allele_depth.cpp, assigned_depth.cpp,
+    allele_frequency.cpp), MHL from assigned-read likelihoods
+    (mean_likelihood.cpp), DC from duplicate-group allele concordance
+    (duplicate_concordance.cpp). Carrier samples aggregate min-tail as the
+    pileup path does."""
+    support = facets.allele_support_context(v)
+    gts = call.genotypes or []
+    carriers = [s for s, sgt in enumerate(gts)
+                if sgt and any(a > 0 for a in sgt) and s < len(support)]
+    if not carriers and support:
+        carriers = list(range(len(support)))
+    entries = []
+    for s in carriers:
+        alt, dep = support[s]
+        sgt = gts[s] if s < len(gts) else []
+        exp = (sum(1 for a in sgt if a > 0) / len(sgt)) if sgt else 0.5
+        af = alt / dep if dep else 0.0
+        entries.append((alt, dep, af, abs(af - exp)))
+    if entries:
+        out["AD"] = min(e[0] for e in entries)
+        out["ADP"] = min(e[1] for e in entries)
+        out["AF"] = min(e[2] for e in entries)
+        out["AFB"] = min(e[3] for e in entries)
+    mhls = [m for m in facets.mean_likelihoods(v.begin, v.end)
+            if m is not None]
+    if mhls:
+        out["MHL"] = max(mhls)
+    dc = facets.duplicate_concordance(v)
+    if dc is not None:
+        out["DC"] = dc
 
 
 def _str_context(ref_codes, ref_begin: int, pos: int,

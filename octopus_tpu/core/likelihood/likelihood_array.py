@@ -52,21 +52,27 @@ _KMER_INDEX_CACHE: dict = {}
 _CACHE_MAX = 8192
 
 
-def warm_kernels(read_lengths=(150,), pad: int = 8) -> None:
+def warm_kernels(read_lengths=(150,), pad: int = 8, pads=None) -> None:
     """Pre-compile the pair-HMM executables for the given read lengths.
 
-    One launch per (length bucket, batch rung): makes one-time kernel
+    One launch per (length bucket, batch rung, band): makes one-time kernel
     compilation happen at a deterministic point (startup) instead of inside
-    the first calling windows. No-op cost when executables are cached."""
+    the first calling windows. No-op cost when executables are cached.
+    Pass pads=(8, 16) to also pre-compile the wide band the adaptive
+    selection escalates to on >7bp indel candidates (select_band) — worth it
+    for whole-genome runs; short runs lazily compile 16 only if needed."""
+    if pads is None:
+        pads = (pad,)
     for rl in set(read_lengths):
         L = ((int(rl) + 31) // 32) * 32
-        W = L + 2 * pad - 1
-        for B in BATCH_LADDER:
-            pairhmm_scores(
-                np.zeros((B, L), np.int32), np.zeros((B, L), np.int32),
-                np.zeros((B, W), np.int32), np.full((B, W), 40, np.int32),
-                np.ones((B, W), np.int32), np.full((B, W), PAD_CODE, np.int32),
-                np.zeros((B, W), np.int32), pad=pad)
+        for p in set(pads):
+            W = L + 2 * p - 1
+            for B in BATCH_LADDER:
+                pairhmm_scores(
+                    np.zeros((B, L), np.int32), np.zeros((B, L), np.int32),
+                    np.zeros((B, W), np.int32), np.full((B, W), 40, np.int32),
+                    np.ones((B, W), np.int32), np.full((B, W), PAD_CODE, np.int32),
+                    np.zeros((B, W), np.int32), pad=p)
 
 
 BAND_BUCKETS = (8, 16, 32)

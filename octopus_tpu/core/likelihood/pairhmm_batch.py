@@ -429,15 +429,78 @@ def pairhmm_scores_pallas_v9(tgtT, qualT, winT, opnT, extT, maskT, priorT, *,
     return out[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _data_mesh(n_devices: int):
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+
+
+def _shardable_devices(B: int, platform: str) -> int:
+    """How many devices one launch can shard over (1 = run single-device).
+
+    The pair batch is embarrassingly parallel over its batch axis: shard it
+    whenever every device gets a whole number of kernel blocks (TPU) or
+    pairs (elsewhere). Disable with OCTOPUS_TPU_NO_SHARD=1."""
+    if os.environ.get("OCTOPUS_TPU_NO_SHARD") == "1":
+        return 1
+    n = jax.device_count()
+    if n <= 1:
+        return 1
+    quantum = LANES if platform == "tpu" else 1
+    while n > 1 and B % (quantum * n):
+        n -= 1
+    return n
+
+
+def _pairhmm_scores_sharded(n_dev, tgt, qual, win, opn, ext, mask, prior,
+                            *, pad, nuc_prior, use_pallas):
+    """Data-parallel pair-HMM over a 1-D device mesh (SURVEY section 2.15
+    TPU-equivalents): pure batch sharding, no collectives — the host gather
+    is the only sync point."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh = _data_mesh(n_dev)
+    if use_pallas:
+        args = [np.ascontiguousarray(
+                    np.minimum(np.asarray(a, np.int32), 127).astype(np.int8).T)
+                for a in (tgt, qual, win, opn, ext, mask, prior)]
+
+        def local(*ts):
+            return pairhmm_scores_pallas_v9(*ts, pad=pad, nuc_prior=nuc_prior)
+
+        spec = P(None, "data")       # kernel layout: batch minor
+        fn = shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
+                       out_specs=P("data"))
+        return fn(*args)
+
+    def local(*bs):
+        ts = [jnp.asarray(a, jnp.int32).T for a in bs]
+        return _hmm_rows(*ts, pad, nuc_prior)
+
+    spec = P("data")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
+                   out_specs=spec)
+    return jax.jit(fn)(tgt, qual, win, opn, ext, mask, prior)
+
+
 def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
                    nuc_prior=DEFAULT_NUC_PRIOR):
-    """Dispatch: Pallas v8 on TPU, XLA elsewhere (batch-major inputs).
+    """Dispatch: Pallas v8 on TPU, XLA elsewhere (batch-major inputs),
+    sharded over all local devices when the batch divides evenly.
 
     On the TPU path the transpose to kernel layout happens on the host (the
     arrays are numpy; `.T` views are materialised during staging), never on
     device.  Set OCTOPUS_TPU_FORCE_XLA=1 to force the portable path.
     """
     platform = jax.default_backend()
+    n_dev = _shardable_devices(tgt.shape[0], platform)
+    if n_dev > 1:
+        use_pallas = (platform == "tpu"
+                      and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"
+                      and os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") != "1")
+        return _pairhmm_scores_sharded(
+            n_dev, tgt, qual, win, opn, ext, mask, prior,
+            pad=pad, nuc_prior=nuc_prior, use_pallas=use_pallas)
     if (platform == "tpu" and tgt.shape[0] % LANES == 0
             and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
         if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1":

@@ -20,6 +20,7 @@ genotypes on the host for exact QUALs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,33 @@ def _bucket(n: int, base: int = 8) -> int:
     return t
 
 
+@functools.lru_cache(maxsize=None)
+def _read_mesh(n_devices: int):
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:n_devices]), ("reads",))
+
+
+@functools.lru_cache(maxsize=None)
+def _genotype_lls_sharded_fn(n_dev: int, ploidy: int):
+    """Reads sharded across the mesh; per-genotype partials psum over ICI
+    (SURVEY section 2.15 TPU-equivalents)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as Pt
+
+    def local(lnL_shard, counts):
+        m = jnp.max(lnL_shard, axis=0)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        E = jnp.exp(lnL_shard - m[None, :])
+        S = jnp.dot(counts, E, preferred_element_type=jnp.float32)
+        partial = jnp.sum(jnp.log(S) + m[None, :] - np.log(ploidy), axis=1)
+        return jax.lax.psum(partial, "reads")
+
+    fn = shard_map(local, mesh=_read_mesh(n_dev),
+                   in_specs=(Pt(None, "reads"), Pt(None, None)),
+                   out_specs=Pt(None))
+    return jax.jit(fn)
+
+
 def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
                              device: bool = True) -> np.ndarray:
     """Genotype log-likelihoods; device matmul path or exact host path.
@@ -78,7 +106,10 @@ def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
     if not device:
         return genotype_log_likelihoods_np(lnL, genotypes)
     H, R = lnL.shape
-    Hp, Rp, Gp = _bucket(H), _bucket(R, 32), _bucket(G)
+    n_dev = 1 if os.environ.get("OCTOPUS_TPU_NO_SHARD") == "1" \
+        else jax.device_count()
+    read_quantum = 32 * n_dev if n_dev > 1 else 32
+    Hp, Rp, Gp = _bucket(H), _bucket(R, read_quantum), _bucket(G)
     counts = genotype_counts_matrix(genotypes, H)
     if (Hp, Rp, Gp) != (H, R, G):
         lnL_p = np.full((Hp, Rp), -np.inf)
@@ -88,14 +119,22 @@ def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
         counts_p = np.zeros((Gp, Hp), np.float32)
         counts_p[:G, :H] = counts
         counts_p[G:, 0] = P           # dummy genotypes: all-ref, finite
-        out = _genotype_lls_device(jnp.asarray(lnL_p, jnp.float32),
-                                   jnp.asarray(counts_p), int(P))
+        if n_dev > 1 and Rp % n_dev == 0:
+            fn = _genotype_lls_sharded_fn(n_dev, int(P))
+            out = fn(jnp.asarray(lnL_p, jnp.float32), jnp.asarray(counts_p))
+        else:
+            out = _genotype_lls_device(jnp.asarray(lnL_p, jnp.float32),
+                                       jnp.asarray(counts_p), int(P))
         out = np.asarray(out, dtype=np.float64)[:G]
         # remove the padding reads' constant contribution: each padding read
         # adds logsumexp over genotype counts of exp(0) = log(P) - log(P) = 0
         return out
-    out = _genotype_lls_device(jnp.asarray(lnL, jnp.float32),
-                               jnp.asarray(counts), int(P))
+    if n_dev > 1 and R % n_dev == 0:
+        fn = _genotype_lls_sharded_fn(n_dev, int(P))
+        out = fn(jnp.asarray(lnL, jnp.float32), jnp.asarray(counts))
+    else:
+        out = _genotype_lls_device(jnp.asarray(lnL, jnp.float32),
+                                   jnp.asarray(counts), int(P))
     return np.asarray(out, dtype=np.float64)
 
 

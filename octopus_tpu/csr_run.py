@@ -55,7 +55,24 @@ def run_filter_vcf(args) -> int:
         batch = ReadBatch.concatenate(parts).sorted_by_begin() if parts \
             else ReadBatch.empty(contig)
         call = _record_to_call(rec)
-        measures = compute_measures(call, batch)
+        facets = None
+        if len(batch):
+            # per-record facet bundle: HMM read assignments feed the
+            # support measures, as run_csr's FacetFactory does
+            # (octopus.cpp:1432-1471, facet_factory.hpp:28-79)
+            from .core.csr.facets import FacetBlock, FacetBundle
+            facets = FacetBundle(FacetBlock(
+                contig=contig, begin=call.begin,
+                end=max(call.end, call.begin + 1),
+                variants=[call.alts[0]] if call.alts else [],
+                genotypes=[[call.genotypes[0] if call.genotypes else [0, 0]]],
+                reads_by_sample=[batch], samples=["pooled"],
+                reference=reference,
+                ploidy=max(len(call.genotypes[0]), 1)
+                if call.genotypes else 2))
+        pln = rec.info.get("PLN")
+        measures = compute_measures(call, batch, facets=facets,
+                                    phase_length=int(pln) if pln else None)
         somatic = bool(rec.info.get("SOMATIC"))
         failed = threshold.classify(measures, somatic=somatic)
         if forest is not None:

@@ -564,13 +564,21 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
     records = []
     pairs = []
-    for call in calls:
+    kept_calls = [c for c in calls if c.begin < window.end]
+    # facet bundles per phase-set block: shared lazily-computed context
+    # (HMM read assignments, repeat context) for the measures
+    # (facet_factory.hpp:28-79); phase length per block (phase_length.cpp)
+    facet_of_call: dict[int, object] = {}
+    phase_len_of_call: dict[int, int] = {}
+    if csr is not None and kept_calls:
+        facet_of_call, phase_len_of_call = _make_facet_bundles(
+            kept_calls, window, reference, batches_by_sample, samples,
+            caller.config.ploidy if caller is not None else 2)
+    for call in kept_calls:
         # keep seam overhang on the LEFT: a call can left-align below
         # window.begin (repeat-spanning indels); the shard reconciliation
         # pass resolves duplicates with the previous window
         # (resolve_connecting_calls, octopus.cpp:950-1015)
-        if not (call.begin < window.end):
-            continue
         record = site_call_to_record(call, window.contig, reference)
         pairs.append((call, record))
         if csr is not None:
@@ -581,7 +589,9 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                 call, merged,
                 ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
                 ref_begin=ref_lo, pipe_report=window_report,
-                reads_by_sample=batches_by_sample)
+                reads_by_sample=batches_by_sample,
+                facets=facet_of_call.get(id(call)),
+                phase_length=phase_len_of_call.get(id(call)))
             rfgq = None
             if hasattr(csr, "classify_q"):
                 failed, rfgq = csr.classify_q(
@@ -668,6 +678,39 @@ def _order_trio(batches, samples, cli_args):
                  samples.index(child)]
         return [batches[i] for i in order]
     return batches
+
+
+def _make_facet_bundles(calls, window, reference, batches_by_sample,
+                        samples, ploidy):
+    """One FacetBundle per phase-set block of calls, plus per-call phase
+    lengths (FacetFactory blocks, facet_factory.hpp:28-79)."""
+    from .core.csr.facets import FacetBlock, FacetBundle
+    blocks: dict = {}
+    for c in calls:
+        key = c.phase_set if c.phase_set is not None else c.begin
+        blocks.setdefault(key, []).append(c)
+    facet_of_call: dict[int, object] = {}
+    phase_len: dict[int, int] = {}
+    for group in blocks.values():
+        begin = min(c.begin for c in group)
+        end = max(max(c.end, c.begin + 1) for c in group)
+        span = end - begin
+        variants = [c.alts[0] for c in group if c.alts]
+        genotypes = []
+        for s in range(len(batches_by_sample)):
+            genotypes.append([
+                (c.genotypes[s] if c.genotypes and s < len(c.genotypes)
+                 else [0] * ploidy)
+                for c in group if c.alts])
+        bundle = FacetBundle(FacetBlock(
+            contig=window.contig, begin=begin, end=end,
+            variants=variants, genotypes=genotypes,
+            reads_by_sample=batches_by_sample, samples=list(samples),
+            reference=reference, ploidy=ploidy))
+        for c in group:
+            facet_of_call[id(c)] = bundle
+            phase_len[id(c)] = span
+    return facet_of_call, phase_len
 
 
 def _reconcile_shards(windows, done, reference, header) -> None:

@@ -93,7 +93,7 @@ class TestFullMeasureSet:
         call, batch, ref = self._scene()
         m = compute_measures(call, batch, ref_codes=ref, ref_begin=0)
         missing = [k for k in ALL_MEASURES
-                   if k not in m and k not in ("PPP", "MHL", "CC")]
+                   if k not in m and k not in ("PPP", "MHL", "CC", "DC")]
         assert not missing, missing
         assert m["DP"] == 20
         assert m["AD"] == 10
