@@ -138,12 +138,23 @@ def main() -> int:
         baseline = float("nan")
     value = tpu["pairs_per_s_marginal"]
     vs = value / baseline if baseline == baseline else None
+    # GCUPS: banded DP cell updates/s = pairs/s x (R rows x 2*pad diagonals).
+    # Speed-of-light estimate for one v5e core's VPU: 8x128 lanes x 4 ALUs x
+    # ~0.94 GHz ~= 3.85e12 int32 lane-ops/s; the v9 kernel spends ~18
+    # vector ops per cell (match min3+add, insert open/extend min, deletion
+    # running-min scan with ext prefix track) -> ~214 GCUPS ceiling.
+    D = 2 * PAD
+    gcups = value * R * D / 1e9
+    sol_gcups = 3.85e12 / 18 / 1e9
     print(json.dumps({
         "metric": "pairhmm_pairs_per_s_per_chip",
         "value": round(value, 1),
         "unit": "read-haplotype pairs/s (R=150, band 8)",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {
+            "gcups": round(gcups, 1),
+            "speed_of_light_gcups_est": round(sol_gcups, 1),
+            "fraction_of_sol": round(gcups / sol_gcups, 3),
             "total_pairs_per_s_incl_dispatch": round(tpu["pairs_per_s_total"], 1),
             "baseline_ref_sse2_x8threads_pairs_per_s": round(baseline, 1) if baseline == baseline else None,
             "kernel": tpu.get("kernel"),

@@ -21,6 +21,7 @@ from ...logging_.progress import TRACE
 _log = logging.getLogger("octopus_tpu")
 
 from ...basics.phred import LN10_DIV_10
+from ...utils import timers
 from ...basics.reads import ReadBatch
 from ..hapgen.generator import (
     enumerate_haplotypes,
@@ -141,9 +142,10 @@ class CallerBase:
                                    assembler=cfg.assembler,
                                    source_vcf=cfg.source_vcf,
                                    min_source_quality=cfg.min_source_candidate_quality))
-        for s, batch in enumerate(reads_by_sample):
-            vargen.add_reads(s, batch)
-        candidates = vargen.generate(region_begin, region_end)
+        with timers.phase("vargen"):
+            for s, batch in enumerate(reads_by_sample):
+                vargen.add_reads(s, batch)
+            candidates = vargen.generate(region_begin, region_end)
         if not candidates:
             return []
         from ..tools.bad_region_detector import (BadRegionConfig, Severity,
@@ -183,7 +185,8 @@ class CallerBase:
                 ctx = self._build_context(begin, end, variants, reads_by_sample,
                                           all_candidates=candidates)
                 if ctx is not None:
-                    new_calls = self._infer_and_call(ctx)
+                    with timers.phase("infer_latents"):
+                        new_calls = self._infer_and_call(ctx)
                     self._debug_dump_region(ctx, new_calls)
                     calls.extend(new_calls)
             else:
@@ -246,7 +249,8 @@ class CallerBase:
                 active_end=packet.active_end)
             if ctx is None:
                 continue
-            new_calls = self._infer_and_call(ctx)
+            with timers.phase("infer_latents"):
+                new_calls = self._infer_and_call(ctx)
             self._debug_dump_region(ctx, new_calls)
             for c in new_calls:
                 # indicators re-call lagged sites; keep the first emission
@@ -309,11 +313,12 @@ class CallerBase:
         band = select_band(variants, cfg.likelihood.max_indel_error)
         if n_options > cfg.max_haplotypes:
             from ..hapgen.beam import grow_haplotypes_beam
-            haplotypes = grow_haplotypes_beam(
-                hap_begin, hap_end, variants, fetch, active,
-                cfg.max_haplotypes, cfg.likelihood,
-                cache=getattr(self, "_score_cache", None),
-                flank_state=flank, pad=band)
+            with timers.phase("hapgen_beam"):
+                haplotypes = grow_haplotypes_beam(
+                    hap_begin, hap_end, variants, fetch, active,
+                    cfg.max_haplotypes, cfg.likelihood,
+                    cache=getattr(self, "_score_cache", None),
+                    flank_state=flank, pad=band)
         else:
             haplotypes = enumerate_haplotypes(hap_begin, hap_end, variants,
                                               fetch, cfg.max_haplotypes)
@@ -333,12 +338,13 @@ class CallerBase:
         hap_end = haplotypes[0].end
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         lik = HaplotypeLikelihoodArray(cfg.likelihood)
-        lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
-                     flank_state=flank_state,
-                     substitution_masks=[h.substitution_mask() for h in haplotypes],
-                     cache=getattr(self, "_score_cache", None),
-                     pad=pad if pad is not None
-                     else select_band(variants, cfg.likelihood.max_indel_error))
+        with timers.phase("likelihood_populate"):
+            lik.populate(active, [h.sequence for h in haplotypes], hap_begin,
+                         flank_state=flank_state,
+                         substitution_masks=[h.substitution_mask() for h in haplotypes],
+                         cache=getattr(self, "_score_cache", None),
+                         pad=pad if pad is not None
+                         else select_band(variants, cfg.likelihood.max_indel_error))
         matrices = [lik.sample_matrix(s) for s in range(len(active))]
         if cfg.read_linkage in ("paired", "linked"):
             # AlignedTemplate joint scoring: linked reads' log-likelihoods sum

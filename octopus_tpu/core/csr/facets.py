@@ -90,8 +90,19 @@ class FacetBundle:
 
     @cached_property
     def reference_context(self) -> tuple[int, np.ndarray]:
-        lo = max(self.block.begin - self._pad, 0)
-        hi = min(self.block.end + self._pad,
+        """The called-haplotype span: must cover every overlapping read's
+        full extent plus the HMM band, or reads spilling past the haplotype
+        ends score identically on all haplotypes and assign ambiguous
+        (the reference sizes its ReadAssignments haplotypes the same way,
+        read_assignments.hpp)."""
+        lo = self.block.begin
+        hi = self.block.end
+        for b in self.overlapping_reads:
+            if len(b):
+                lo = min(lo, int(b.begins.min()))
+                hi = max(hi, int(b.ends.max()))
+        lo = max(lo - self._pad, 0)
+        hi = min(hi + self._pad,
                  self.block.reference.contig_size(self.block.contig))
         return lo, self.block.reference.fetch_codes(self.block.contig, lo, hi)
 

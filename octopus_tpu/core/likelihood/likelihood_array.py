@@ -27,6 +27,7 @@ matching the reference bit-for-bit in score space.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+import os
 import zlib
 
 import numpy as np
@@ -469,6 +470,22 @@ class HaplotypeLikelihoodArray:
                             | (job_pos[hsel] + job_lens[hsel] + pad
                                > hl - flank_state.rhs_flank))
                 flank_rows.extend(int(k) for k in hsel[in_flank])
+
+        # small job sets run the native host DP instead of paying a device
+        # dispatch round trip (micro-launch latency >> the few thousand
+        # DP cells; the reference's analog is its single-pair SIMD calls);
+        # threshold tunable via OCTOPUS_TPU_HOST_HMM_MAX
+        host_max = int(os.environ.get("OCTOPUS_TPU_HOST_HMM_MAX", "384"))
+        if n <= host_max:
+            rows = np.arange(n)
+            corrected = self._flank_corrected_scores(
+                rows, penalties, job_hap, job_read, job_pos, job_lens,
+                flank_state or FlankState(0, 0), pad, is_rev,
+                tgt.astype(np.int32), quals.astype(np.int32),
+                win, opn, ext, mask, prior, L, W)
+            if corrected is not None:
+                ln = -LN10_DIV_10 * corrected.astype(np.float64)
+                return ln
 
         # batch sizes come from a 2-rung ladder and big batches launch in
         # fixed-size chunks, dispatched async and collected at the end: at

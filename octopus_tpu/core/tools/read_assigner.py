@@ -35,11 +35,19 @@ def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
                  config: LikelihoodConfig | None = None,
                  ambiguous_margin: float = 1e-9) -> Assignment:
     """Assign reads to the haplotypes of a called genotype by likelihood."""
+    from ..likelihood.likelihood_array import select_band
     unique_haps = sorted(set(genotype))
-    arr = HaplotypeLikelihoodArray(config or LikelihoodConfig())
+    cfg = config or LikelihoodConfig()
+    arr = HaplotypeLikelihoodArray(cfg)
     seqs = [haplotypes[h].sequence for h in unique_haps]
     masks = [haplotypes[h].substitution_mask() for h in unique_haps]
-    arr.populate([batch], seqs, hap_begin, substitution_masks=masks)
+    # band from the called haplotypes' own indels: SNV-only blocks keep the
+    # narrow warmed kernel (select_band)
+    band = select_band([v for h in unique_haps
+                        for v in haplotypes[h].variants],
+                       cfg.max_indel_error)
+    arr.populate([batch], seqs, hap_begin, substitution_masks=masks,
+                 pad=band)
     lnL = arr.sample_matrix(0)           # (n_unique, n_reads)
     best = np.argmax(lnL, axis=0)
     sorted_l = np.sort(lnL, axis=0)

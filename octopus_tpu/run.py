@@ -571,9 +571,10 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     facet_of_call: dict[int, object] = {}
     phase_len_of_call: dict[int, int] = {}
     if csr is not None and kept_calls:
-        facet_of_call, phase_len_of_call = _make_facet_bundles(
-            kept_calls, window, reference, batches_by_sample, samples,
-            caller.config.ploidy if caller is not None else 2)
+        with timers.phase("csr_facets"):
+            facet_of_call, phase_len_of_call = _make_facet_bundles(
+                kept_calls, window, reference, batches_by_sample, samples,
+                caller.config.ploidy if caller is not None else 2)
     for call in kept_calls:
         # keep seam overhang on the LEFT: a call can left-align below
         # window.begin (repeat-spanning indels); the shard reconciliation
@@ -585,13 +586,14 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             ref_lo = max(int(call.begin) - 120, 0)
             ref_hi = min(int(call.end) + 120,
                          reference.contig_size(window.contig))
-            measures = compute_measures(
-                call, merged,
-                ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
-                ref_begin=ref_lo, pipe_report=window_report,
-                reads_by_sample=batches_by_sample,
-                facets=facet_of_call.get(id(call)),
-                phase_length=phase_len_of_call.get(id(call)))
+            with timers.phase("csr_measures"):
+                measures = compute_measures(
+                    call, merged,
+                    ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
+                    ref_begin=ref_lo, pipe_report=window_report,
+                    reads_by_sample=batches_by_sample,
+                    facets=facet_of_call.get(id(call)),
+                    phase_length=phase_len_of_call.get(id(call)))
             rfgq = None
             if hasattr(csr, "classify_q"):
                 failed, rfgq = csr.classify_q(

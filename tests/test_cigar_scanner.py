@@ -114,3 +114,25 @@ class TestCigarScanner:
                                                       use_misalignment_filter=False))
         sc.add_reads(0, batch)
         assert len(sc.generate(0, 200)) == 1
+
+
+def test_fast_fisher_matches_scipy():
+    import scipy.stats as sps
+    from octopus_tpu.core.vargen.cigar_scanner import _fisher_two_sided_p
+    import numpy as np
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        a, b, c, d = (int(x) for x in rng.integers(0, 40, 4))
+        want = sps.fisher_exact([[a, b], [c, d]])[1]
+        got = _fisher_two_sided_p(a, b, c, d)
+        assert abs(got - want) < 1e-9, (a, b, c, d, got, want)
+
+
+def test_fast_poisson_lnsf_matches_scipy():
+    import scipy.stats as sps
+    from octopus_tpu.core.vargen.cigar_scanner import _poisson_lnsf
+    for k in (0, 1, 2, 5, 9, 20):
+        for mu in (0.1, 0.45, 1.5, 3.2):
+            want = float(sps.poisson.logsf(k, mu))
+            got = _poisson_lnsf(k, mu)
+            assert abs(got - want) < 1e-6 * max(abs(want), 1), (k, mu)
