@@ -121,11 +121,41 @@ class FacetBundle:
         lo, codes = self.reference_context
         hi = lo + len(codes)
         fetch = lambda b, e: self.block.reference.fetch_codes(self.block.contig, b, e)
-        ploidy = self.block.ploidy
         haps: list[Haplotype] = []
         seen = set()
+        for sample_haps in self.called_haplotypes_by_sample:
+            for h in sample_haps:
+                key = tuple((v.begin, v.alt) for v in h.variants)
+                if key not in seen:
+                    seen.add(key)
+                    haps.append(h)
+        if not haps:
+            haps.append(Haplotype.build(lo, hi, [], fetch))
+        return haps
+
+    @cached_property
+    def called_haplotypes_by_sample(self) -> list:
+        """Per sample: haplotypes implied by ITS OWN called genotypes.
+
+        Reads are assigned within each sample's genotype only (the
+        reference's ReadAssignments keys support per sample per genotype
+        haplotype, read_assignments.hpp:25-34) — pooling haplotypes across
+        samples makes reads not spanning another sample's private variant
+        ambiguous and collapses assigned depth."""
+        lo, codes = self.reference_context
+        hi = lo + len(codes)
+        fetch = lambda b, e: self.block.reference.fetch_codes(
+            self.block.contig, b, e)
+        out = []
         for sample_gts in self.block.genotypes:
-            for k in range(ploidy):
+            # slot count from the sample's own genotypes: somatic/CNV calls
+            # carry extra ploidy slots (e.g. tumour 0/0/1), and the somatic
+            # haplotype must exist for assignment support
+            n_slots = max((len(gt) for gt in sample_gts),
+                          default=self.block.ploidy)
+            haps = []
+            seen = set()
+            for k in range(n_slots):
                 variants = []
                 for site, gt in zip(self.block.variants, sample_gts):
                     allele = gt[k] if k < len(gt) else 0
@@ -135,20 +165,26 @@ class FacetBundle:
                 if key not in seen:
                     seen.add(key)
                     haps.append(Haplotype.build(lo, hi, variants, fetch))
-        if not haps:
-            haps.append(Haplotype.build(lo, hi, [], fetch))
-        return haps
+            if not haps:
+                haps.append(Haplotype.build(lo, hi, [], fetch))
+            out.append(haps)
+        return out
 
     @cached_property
     def read_assignments(self) -> list:
-        """Per sample: Assignment of each read to a called haplotype
-        (the reference's ReadAssignments facet re-runs the HMM here too)."""
+        """Per sample: Assignment of each read to one of the SAMPLE'S called
+        haplotypes (the reference's ReadAssignments facet re-runs the HMM
+        here too)."""
         from ..tools.read_assigner import assign_reads
         lo, _ = self.reference_context
-        all_haps = list(range(len(self.called_haplotypes)))
-        return [assign_reads(b, self.called_haplotypes, all_haps, lo)
-                if len(b) else None
-                for b in self.overlapping_reads]
+        out = []
+        for b, haps in zip(self.overlapping_reads,
+                           self.called_haplotypes_by_sample):
+            if not len(b):
+                out.append(None)
+                continue
+            out.append(assign_reads(b, haps, list(range(len(haps))), lo))
+        return out
 
     def allele_support(self, variant: Variant) -> list:
         """Per sample: reads assigned to alt-carrying haplotypes."""
@@ -158,17 +194,18 @@ class FacetBundle:
         """Per sample (alt_assigned, assigned_depth) among reads overlapping
         the variant, from HMM read-to-haplotype assignment — the reference's
         AD/ADP/AF source (read_assignments.hpp:25-34, allele_depth.cpp)."""
-        alt_haps = sorted(
-            i for i, h in enumerate(self.called_haplotypes)
-            if any(v.begin == variant.begin and v.alt == variant.alt
-                   for v in h.variants))
         vb = variant.begin
         ve = max(variant.end, variant.begin + 1)
         out = []
-        for b, a in zip(self.overlapping_reads, self.read_assignments):
+        for b, a, haps in zip(self.overlapping_reads, self.read_assignments,
+                              self.called_haplotypes_by_sample):
             if a is None or not len(b):
                 out.append((0, 0))
                 continue
+            alt_haps = sorted(
+                i for i, h in enumerate(haps)
+                if any(v.begin == variant.begin and v.alt == variant.alt
+                       for v in h.variants))
             over = (b.begins < ve) & (b.ends > vb)
             assigned = over & (a.hap_of_read >= 0)
             alt = assigned & np.isin(a.hap_of_read, alt_haps)
@@ -181,13 +218,14 @@ class FacetBundle:
         from ...basics.phred import LN10_DIV_10
         out = []
         end = max(end, begin + 1)
-        for b, a in zip(self.overlapping_reads, self.read_assignments):
+        for b, a, haps in zip(self.overlapping_reads, self.read_assignments,
+                              self.called_haplotypes_by_sample):
             if a is None or a.log_likelihoods is None or not len(b):
                 out.append(None)
                 continue
             over = (b.begins < end) & (b.ends > begin)
             per_hap = []
-            for h in range(len(self.called_haplotypes)):
+            for h in range(len(haps)):
                 sel = over & (a.hap_of_read == h)
                 if sel.any():
                     phreds = a.log_likelihoods[sel] / -LN10_DIV_10
