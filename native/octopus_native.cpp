@@ -11,7 +11,9 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <limits>
 #include <cstring>
 #include <queue>
 #include <set>
@@ -561,6 +563,662 @@ static PyObject* extract_bubbles(PyObject*, PyObject* args) {
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Exact tandem repeat finding + repeat-based error-model penalty tracks.
+//
+// Mirrors octopus_tpu.utils.tandem (itself capability-equivalent to the
+// reference's vendored lib/tandem) and the hot loops of
+// octopus_tpu.core.likelihood.error_models (reference:
+// src/core/models/error/repeat_based_{snv,indel}_error_model.cpp).
+// ---------------------------------------------------------------------------
+
+struct RepeatRec {
+    int32_t pos, length, period;
+};
+
+static void find_tandem_repeats(const uint8_t* s, Py_ssize_t n,
+                                int min_p, int max_p,
+                                std::vector<RepeatRec>& out) {
+    for (int p = std::max(1, min_p); p <= max_p; ++p) {
+        if (p == 1) {
+            Py_ssize_t i = 0;
+            while (i < n) {
+                Py_ssize_t j = i + 1;
+                while (j < n && s[j] == s[i]) ++j;
+                if (j - i >= 2)
+                    out.push_back({(int32_t)i, (int32_t)(j - i), 1});
+                i = j;
+            }
+        } else {
+            if (n < 2 * p) continue;
+            const Py_ssize_t m = n - p;     // eq[i] = s[i] == s[i+p]
+            Py_ssize_t i = 0;
+            while (i < m) {
+                if (s[i] != s[i + p]) { ++i; continue; }
+                Py_ssize_t e = i + 1;       // maximal eq-run [i, e)
+                while (e < m && s[e] == s[e + p]) ++e;
+                Py_ssize_t len = (e - i) + p;
+                if (len >= 2 * p) {
+                    // advance start past a leading homopolymer run (tandem.py
+                    // _find_period_runs; reference tandem.hpp:411-436)
+                    Py_ssize_t pos = i;
+                    while (pos + 1 < e && s[pos] == s[pos + 1] &&
+                           pos + 1 + 2 * p <= e + p)
+                        ++pos;
+                    len = e + p - pos;
+                    if (len >= 2 * p) {
+                        bool primitive = true;  // motif not a repetition itself
+                        for (int d = 1; d < p && primitive; ++d) {
+                            if (p % d) continue;
+                            bool all = true;
+                            for (int k = 0; k < p; ++k)
+                                if (s[pos + k] != s[pos + k % d]) { all = false; break; }
+                            if (all) primitive = false;
+                        }
+                        if (primitive)
+                            out.push_back({(int32_t)pos, (int32_t)len, (int32_t)p});
+                    }
+                }
+                i = e;
+            }
+        }
+    }
+    std::sort(out.begin(), out.end(), [](const RepeatRec& a, const RepeatRec& b) {
+        return a.pos != b.pos ? a.pos < b.pos : a.period < b.period;
+    });
+}
+
+// tandem_repeats(codes: u8 buffer, min_period, max_period)
+//   -> int32-le bytes of (pos, length, period) triples
+static PyObject* tandem_repeats(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    int min_p, max_p;
+    if (!PyArg_ParseTuple(args, "y*ii", &buf, &min_p, &max_p)) return nullptr;
+    std::vector<RepeatRec> reps;
+    Py_BEGIN_ALLOW_THREADS
+    find_tandem_repeats((const uint8_t*)buf.buf, buf.len, min_p, max_p, reps);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf);
+    PyObject* result = PyBytes_FromStringAndSize(
+        (const char*)reps.data(), (Py_ssize_t)(reps.size() * sizeof(RepeatRec)));
+    return result;
+}
+
+static void count_runs_impl(const int16_t* mask, Py_ssize_t n, int max_gap,
+                            int32_t* out) {
+    if (n == 0) return;
+    std::memset(out, 0, n * sizeof(int32_t));
+    int16_t prev = mask[0];
+    int32_t count = prev > 0 ? 1 : 0;
+    int gap = 0;
+    for (Py_ssize_t i = 1; i < n; ++i) {
+        int16_t x = mask[i];
+        int32_t emitted = 0;
+        if (x == 0) {
+            ++gap;
+            if (count > 0) {
+                if (gap == 1) {
+                    emitted = count;
+                    if (max_gap < 1) count = 0;
+                } else if (gap > max_gap) {
+                    count = 0;
+                }
+            }
+        } else if (prev == x) {
+            gap = 0;
+            ++count;
+        } else {
+            prev = x;
+            emitted = count;
+            count = 1;
+        }
+        out[i] = emitted;
+    }
+}
+
+// snv_priors(codes: u8, subst_mask: u8 (may be empty), max_q,
+//            caps1: i16 buffer, caps2: i16, caps3: i16)
+//   -> (fwd int16-le bytes, rev int16-le bytes)
+// Full RepeatBasedSnvErrorModel.evaluate (error_models.py:110-135).
+static PyObject* snv_priors(PyObject*, PyObject* args) {
+    Py_buffer codes_b, sub_b, c1_b, c2_b, c3_b;
+    int max_q;
+    if (!PyArg_ParseTuple(args, "y*y*iy*y*y*", &codes_b, &sub_b, &max_q,
+                          &c1_b, &c2_b, &c3_b))
+        return nullptr;
+    const uint8_t* codes = (const uint8_t*)codes_b.buf;
+    const Py_ssize_t n = codes_b.len;
+    const uint8_t* sub = (const uint8_t*)sub_b.buf;
+    const bool has_sub = sub_b.len == n;
+    const int16_t* caps[3] = {(const int16_t*)c1_b.buf, (const int16_t*)c2_b.buf,
+                              (const int16_t*)c3_b.buf};
+    const Py_ssize_t ncaps[3] = {
+        c1_b.len / (Py_ssize_t)sizeof(int16_t),
+        c2_b.len / (Py_ssize_t)sizeof(int16_t),
+        c3_b.len / (Py_ssize_t)sizeof(int16_t)};
+    PyObject* fwd_o = PyBytes_FromStringAndSize(nullptr, n * sizeof(int16_t));
+    PyObject* rev_o = PyBytes_FromStringAndSize(nullptr, n * sizeof(int16_t));
+    if (!fwd_o || !rev_o) {
+        Py_XDECREF(fwd_o); Py_XDECREF(rev_o);
+        PyBuffer_Release(&codes_b); PyBuffer_Release(&sub_b);
+        PyBuffer_Release(&c1_b); PyBuffer_Release(&c2_b); PyBuffer_Release(&c3_b);
+        return nullptr;
+    }
+    int16_t* fwd = (int16_t*)PyBytes_AS_STRING(fwd_o);
+    int16_t* rev = (int16_t*)PyBytes_AS_STRING(rev_o);
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t i = 0; i < n; ++i) { fwd[i] = (int16_t)max_q; rev[i] = (int16_t)max_q; }
+    std::vector<RepeatRec> reps;
+    find_tandem_repeats(codes, n, 1, 3, reps);
+    std::vector<int16_t> mask(n), rmask(n);
+    std::vector<int32_t> runs(n);
+    for (int period = 1; period <= 3; ++period) {
+        std::fill(mask.begin(), mask.end(), 0);
+        bool any = false;
+        for (const auto& r : reps) {
+            if (r.period != period) continue;
+            any = true;
+            // base-sum motif hash so adjacent distinct repeats break runs
+            int32_t h = period + 1;
+            for (int k = 0; k < period; ++k) h += codes[r.pos + k];
+            for (int32_t j = r.pos; j < r.pos + r.length && j < n; ++j)
+                mask[j] = (int16_t)h;
+        }
+        if (!any) continue;
+        const int16_t* cp = caps[period - 1];
+        const Py_ssize_t nc = ncaps[period - 1];
+        const int max_gap = period + 1;
+        count_runs_impl(mask.data(), n, max_gap, runs.data());
+        for (Py_ssize_t i = 0; i < n; ++i) {
+            Py_ssize_t k = runs[i] < nc - 1 ? runs[i] : nc - 1;
+            if (cp[k] < fwd[i]) fwd[i] = cp[k];
+        }
+        for (Py_ssize_t i = 0; i < n; ++i) rmask[i] = mask[n - 1 - i];
+        count_runs_impl(rmask.data(), n, max_gap, runs.data());
+        for (Py_ssize_t i = 0; i < n; ++i) {
+            Py_ssize_t k = runs[n - 1 - i] < nc - 1 ? runs[n - 1 - i] : nc - 1;
+            if (cp[k] < rev[i]) rev[i] = cp[k];
+        }
+    }
+    if (has_sub) {
+        for (Py_ssize_t i = 0; i < n; ++i)
+            if (sub[i]) { fwd[i] = (int16_t)max_q; rev[i] = (int16_t)max_q; }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&codes_b); PyBuffer_Release(&sub_b);
+    PyBuffer_Release(&c1_b); PyBuffer_Release(&c2_b); PyBuffer_Release(&c3_b);
+    PyObject* tup = PyTuple_Pack(2, fwd_o, rev_o);
+    Py_DECREF(fwd_o); Py_DECREF(rev_o);
+    return tup;
+}
+
+// indel_penalties(codes: u8, default_open, default_extend,
+//                 at_open: i16, cg_open: i16, di_open: i16, tri_open: i16,
+//                 homo_ext: i16, di_ext: i16, tri_ext: i16)
+//   -> (gap_open int16-le bytes, gap_extend int16-le bytes)
+// Full RepeatBasedIndelErrorModel.set_penalties (error_models.py:242-254).
+// Base codes: A=0 C=1 G=2 T=3.
+static PyObject* indel_penalties(PyObject*, PyObject* args) {
+    Py_buffer codes_b, at_b, cg_b, di_b, tri_b, he_b, de_b, te_b;
+    int def_open, def_ext;
+    if (!PyArg_ParseTuple(args, "y*iiy*y*y*y*y*y*y*", &codes_b, &def_open,
+                          &def_ext, &at_b, &cg_b, &di_b, &tri_b, &he_b, &de_b,
+                          &te_b))
+        return nullptr;
+    const uint8_t* codes = (const uint8_t*)codes_b.buf;
+    const Py_ssize_t n = codes_b.len;
+    PyObject* open_o = PyBytes_FromStringAndSize(nullptr, n * sizeof(int16_t));
+    PyObject* ext_o = PyBytes_FromStringAndSize(nullptr, n * sizeof(int16_t));
+    if (!open_o || !ext_o) {
+        Py_XDECREF(open_o); Py_XDECREF(ext_o);
+        PyBuffer_Release(&codes_b); PyBuffer_Release(&at_b); PyBuffer_Release(&cg_b);
+        PyBuffer_Release(&di_b); PyBuffer_Release(&tri_b); PyBuffer_Release(&he_b);
+        PyBuffer_Release(&de_b); PyBuffer_Release(&te_b);
+        return nullptr;
+    }
+    int16_t* gap_open = (int16_t*)PyBytes_AS_STRING(open_o);
+    int16_t* gap_ext = (int16_t*)PyBytes_AS_STRING(ext_o);
+    Py_BEGIN_ALLOW_THREADS
+    auto lookup = [](const Py_buffer& b, Py_ssize_t idx) -> int16_t {
+        const int16_t* t = (const int16_t*)b.buf;
+        Py_ssize_t m = b.len / (Py_ssize_t)sizeof(int16_t);
+        return t[idx < m ? idx : m - 1];
+    };
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        gap_open[i] = (int16_t)def_open;
+        gap_ext[i] = (int16_t)def_ext;
+    }
+    std::vector<RepeatRec> reps;
+    find_tandem_repeats(codes, n, 1, 5, reps);
+    std::stable_sort(reps.begin(), reps.end(),
+                     [](const RepeatRec& a, const RepeatRec& b) {
+                         return a.length < b.length;
+                     });
+    for (const auto& r : reps) {
+        const int period = r.period;
+        const Py_ssize_t periodicity = r.length / period;
+        int16_t opn, ext;
+        if (period == 1) {
+            const uint8_t b0 = codes[r.pos];
+            opn = (b0 == 0 || b0 == 3) ? lookup(at_b, periodicity)
+                                       : lookup(cg_b, periodicity);
+            ext = lookup(he_b, periodicity);
+        } else if (period == 2) {
+            opn = lookup(di_b, periodicity);
+            const uint8_t b0 = codes[r.pos], b1 = codes[r.pos + 1];
+            // CG dinucleotide repeats are extra error-prone
+            if (opn > 7 && ((b0 == 1 && b1 == 2) || (b0 == 2 && b1 == 1)))
+                opn -= 2;
+            ext = lookup(de_b, periodicity);
+        } else {
+            opn = lookup(tri_b, periodicity);
+            ext = lookup(te_b, periodicity);
+        }
+        const Py_ssize_t lo = r.pos;
+        const Py_ssize_t hi = std::min((Py_ssize_t)(r.pos + r.length), n);
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+            if (opn < gap_open[i]) gap_open[i] = opn;
+            gap_ext[i] = ext;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&codes_b); PyBuffer_Release(&at_b); PyBuffer_Release(&cg_b);
+    PyBuffer_Release(&di_b); PyBuffer_Release(&tri_b); PyBuffer_Release(&he_b);
+    PyBuffer_Release(&de_b); PyBuffer_Release(&te_b);
+    PyObject* tup = PyTuple_Pack(2, open_o, ext_o);
+    Py_DECREF(open_o); Py_DECREF(ext_o);
+    return tup;
+}
+
+// ---------------------------------------------------------------------------
+// Full BAM record decode.
+//
+// Mirrors octopus_tpu.io.bam.BamFile._decode_records (reference:
+// src/io/read/htslib_sam_facade.cpp record conversion): one pass over the
+// inflated BGZF buffer, region/flag filtering, 4-bit sequence decode, CIGAR
+// expansion, reference-span computation and FNV-1a name hashing — the
+// numpy fancy-index gathers and per-record python loops collapse into one
+// native call.
+// ---------------------------------------------------------------------------
+
+// decode_bam_records(buf: y*, ref_id, begin: L, end: L, seq4_table: y* 16)
+//   -> (pos_i64, ends_i64, mapq_u8, flags_u16, next_ref_i32, next_pos_i64,
+//       tlen_i32, name_hash_u64, name_blob_u8, name_offsets_i64,
+//       seq_u8, quals_u8, seq_offsets_i64, cigar_i32, cigar_offsets_i64,
+//       aux_start_i64, aux_end_i64)  all little-endian bytes objects
+static PyObject* decode_bam_records(PyObject*, PyObject* args) {
+    Py_buffer buf_b, tbl_b;
+    int ref_id;
+    long long begin, end;
+    if (!PyArg_ParseTuple(args, "y*iLLy*", &buf_b, &ref_id, &begin, &end,
+                          &tbl_b))
+        return nullptr;
+    if (tbl_b.len < 16) {
+        PyBuffer_Release(&buf_b); PyBuffer_Release(&tbl_b);
+        PyErr_SetString(PyExc_ValueError, "seq4 table must be 16 bytes");
+        return nullptr;
+    }
+    const uint8_t* data = (const uint8_t*)buf_b.buf;
+    const Py_ssize_t n_bytes = buf_b.len;
+    const uint8_t* tbl = (const uint8_t*)tbl_b.buf;
+    std::vector<int64_t> pos_v, ends_v, next_pos_v, name_off_v{0}, seq_off_v{0},
+        cig_off_v{0}, aux_s_v, aux_e_v;
+    std::vector<uint8_t> mapq_v, name_blob, seq_v, qual_v;
+    std::vector<uint16_t> flags_v;
+    std::vector<int32_t> next_ref_v, tlen_v, cig_v;
+    std::vector<uint64_t> hash_v;
+    Py_BEGIN_ALLOW_THREADS
+    auto rd_i32 = [&](Py_ssize_t o) -> int32_t {
+        return (int32_t)(data[o] | (data[o + 1] << 8) | (data[o + 2] << 16)
+                         | ((uint32_t)data[o + 3] << 24));
+    };
+    auto rd_u16 = [&](Py_ssize_t o) -> uint16_t {
+        return (uint16_t)(data[o] | (data[o + 1] << 8));
+    };
+    Py_ssize_t off = 0;
+    while (off + 4 <= n_bytes) {
+        const int32_t block_size = rd_i32(off);
+        if (block_size <= 0 || off + 4 + block_size > n_bytes) break;
+        const Py_ssize_t rec = off;
+        off += 4 + block_size;
+        const int32_t rec_ref = rd_i32(rec + 4);
+        const int64_t rec_pos = rd_i32(rec + 8);
+        const uint16_t flags = rd_u16(rec + 18);
+        if (rec_ref != ref_id || rec_pos >= end || (flags & 0x4)) continue;
+        const int l_read_name = data[rec + 12];
+        const uint8_t mapq = data[rec + 13];
+        const int n_cigar = rd_u16(rec + 16);
+        const int64_t l_seq = rd_i32(rec + 20);
+        const int32_t next_ref = rd_i32(rec + 24);
+        const int64_t next_pos = rd_i32(rec + 28);
+        const int32_t tlen = rd_i32(rec + 32);
+        const Py_ssize_t name_off = rec + 36;
+        const Py_ssize_t cigar_off = name_off + l_read_name;
+        const Py_ssize_t seq_off = cigar_off + 4 * (Py_ssize_t)n_cigar;
+        const Py_ssize_t qual_off = seq_off + (l_seq + 1) / 2;
+        const Py_ssize_t aux_off = qual_off + l_seq;
+        const Py_ssize_t rec_end = rec + 4 + block_size;
+        if (aux_off > rec_end) continue;  // malformed
+        // reference span from cigar (ops M=0 D=2 N=3 EQ=7 X=8 consume ref)
+        int64_t span = 0;
+        for (int c = 0; c < n_cigar; ++c) {
+            const uint32_t w = (uint32_t)rd_i32(cigar_off + 4 * c);
+            const uint32_t op = w & 0xF;
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                span += w >> 4;
+        }
+        const int64_t rec_endpos = rec_pos + span;
+        if (rec_endpos <= begin) continue;
+        pos_v.push_back(rec_pos);
+        ends_v.push_back(rec_endpos);
+        mapq_v.push_back(mapq);
+        flags_v.push_back(flags);
+        next_ref_v.push_back(next_ref);
+        next_pos_v.push_back(next_pos);
+        tlen_v.push_back(tlen);
+        // FNV-1a over the NUL-terminated read name (without the NUL)
+        uint64_t h = 1469598103934665603ull;
+        for (int k = 0; k + 1 < l_read_name; ++k) {
+            h ^= data[name_off + k];
+            h *= 1099511628211ull;
+        }
+        hash_v.push_back(h);
+        name_blob.insert(name_blob.end(), data + name_off,
+                         data + name_off + (l_read_name > 0 ? l_read_name - 1 : 0));
+        name_off_v.push_back((int64_t)name_blob.size());
+        for (int c = 0; c < n_cigar; ++c) {
+            const uint32_t w = (uint32_t)rd_i32(cigar_off + 4 * c);
+            cig_v.push_back((int32_t)(w >> 4));
+            cig_v.push_back((int32_t)(w & 0xF));
+        }
+        cig_off_v.push_back((int64_t)(cig_v.size() / 2));
+        for (int64_t k = 0; k < l_seq; ++k) {
+            const uint8_t nib = data[seq_off + k / 2];
+            seq_v.push_back(tbl[(k % 2 == 0) ? (nib >> 4) : (nib & 0xF)]);
+            const uint8_t q = data[qual_off + k];
+            qual_v.push_back(q == 0xFF ? 30 : q);
+        }
+        seq_off_v.push_back((int64_t)seq_v.size());
+        aux_s_v.push_back((int64_t)aux_off);
+        aux_e_v.push_back((int64_t)rec_end);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf_b); PyBuffer_Release(&tbl_b);
+    auto mk = [](const void* p, size_t nbytes) {
+        return PyBytes_FromStringAndSize((const char*)p, (Py_ssize_t)nbytes);
+    };
+    PyObject* tup = Py_BuildValue(
+        "(NNNNNNNNNNNNNNNNN)",
+        mk(pos_v.data(), pos_v.size() * 8),
+        mk(ends_v.data(), ends_v.size() * 8),
+        mk(mapq_v.data(), mapq_v.size()),
+        mk(flags_v.data(), flags_v.size() * 2),
+        mk(next_ref_v.data(), next_ref_v.size() * 4),
+        mk(next_pos_v.data(), next_pos_v.size() * 8),
+        mk(tlen_v.data(), tlen_v.size() * 4),
+        mk(hash_v.data(), hash_v.size() * 8),
+        mk(name_blob.data(), name_blob.size()),
+        mk(name_off_v.data(), name_off_v.size() * 8),
+        mk(seq_v.data(), seq_v.size()),
+        mk(qual_v.data(), qual_v.size()),
+        mk(seq_off_v.data(), seq_off_v.size() * 8),
+        mk(cig_v.data(), cig_v.size() * 4),
+        mk(cig_off_v.data(), cig_off_v.size() * 8),
+        mk(aux_s_v.data(), aux_s_v.size() * 8),
+        mk(aux_e_v.data(), aux_e_v.size() * 8));
+    return tup;
+}
+
+// ---------------------------------------------------------------------------
+// CIGAR candidate scan.
+//
+// Mirrors octopus_tpu.core.vargen.cigar_scanner._scan_read (reference:
+// src/core/tools/vargen/cigar_scanner.cpp:80-260) over a whole ReadBatch in
+// one call: mismatch/ins/del candidate extraction + the Poisson-tail
+// misalignment filter.  Returns packed candidate records; Python slices the
+// ref/alt byte strings from buffers it already holds.
+// ---------------------------------------------------------------------------
+
+static double poisson_lnsf(int64_t k_minus_1, double mu) {
+    // ln P(Poisson(mu) >= k), direct upper-tail sum in log space
+    // (cigar_scanner.py:_poisson_lnsf)
+    const int64_t k = k_minus_1 + 1;
+    if (mu <= 0.0) return k <= 0 ? 0.0 : -std::numeric_limits<double>::infinity();
+    const double lead = -mu + k * std::log(mu) - std::lgamma((double)k + 1.0);
+    double total = 1.0, ratio = 1.0;
+    int64_t i = k;
+    for (;;) {
+        ++i;
+        ratio *= mu / (double)i;
+        if (ratio < 1e-18) break;
+        total += ratio;
+    }
+    return std::min(lead + std::log(total), 0.0);
+}
+
+struct ScanCand {
+    int32_t read;       // read index in batch
+    int32_t offset;     // alt start offset within read
+    int32_t alt_len;
+    int32_t sum_q;
+    int64_t begin, end; // ref coordinates
+    uint8_t at_edge, misaligned;
+    uint8_t pad_[6];
+};
+
+// scan_cigar_reads(ref_chunk: u8, chunk_begin: i64,
+//                  begins: i64, ends: i64, mapq: u8,
+//                  seq: u8, quals: u8, seq_offsets: i64,
+//                  cigar_ops: i32 (total, 2), cigar_offsets: i64,
+//                  snv_threshold, snv_penalty, indel_penalty, clip_penalty,
+//                  max_unpenalised_clip, max_variant_size,
+//                  use_misalign_filter, max_expected_mutation_rate,
+//                  min_ln_prob_correctly_aligned)
+//   -> bytes of ScanCand records (48 bytes each)
+static PyObject* scan_cigar_reads(PyObject*, PyObject* args) {
+    Py_buffer ref_b, beg_b, end_b, mq_b, seq_b, qual_b, soff_b, cig_b, coff_b;
+    long long chunk_begin;
+    int snv_threshold, max_clip, use_filter;
+    long long max_var_size;
+    double snv_pen, indel_pen, clip_pen, mut_rate, min_ln_prob;
+    if (!PyArg_ParseTuple(args, "y*Ly*y*y*y*y*y*y*y*idddiLidd",
+                          &ref_b, &chunk_begin, &beg_b, &end_b, &mq_b,
+                          &seq_b, &qual_b, &soff_b, &cig_b, &coff_b,
+                          &snv_threshold, &snv_pen, &indel_pen, &clip_pen,
+                          &max_clip, &max_var_size, &use_filter,
+                          &mut_rate, &min_ln_prob))
+        return nullptr;
+    const uint8_t* ref = (const uint8_t*)ref_b.buf;
+    const Py_ssize_t ref_n = ref_b.len;
+    const int64_t* begins = (const int64_t*)beg_b.buf;
+    const int64_t* ends = (const int64_t*)end_b.buf;
+    const uint8_t* mapq = (const uint8_t*)mq_b.buf;
+    const uint8_t* seq = (const uint8_t*)seq_b.buf;
+    const uint8_t* quals = (const uint8_t*)qual_b.buf;
+    const int64_t* soff = (const int64_t*)soff_b.buf;
+    const int32_t* cig = (const int32_t*)cig_b.buf;
+    const int64_t* coff = (const int64_t*)coff_b.buf;
+    const Py_ssize_t n_reads = beg_b.len / (Py_ssize_t)sizeof(int64_t);
+    std::vector<ScanCand> out;
+    out.reserve(256);
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<ScanCand> found;
+    for (Py_ssize_t r = 0; r < n_reads; ++r) {
+        const int64_t begin = begins[r], end = ends[r];
+        const uint8_t* rs = seq + soff[r];
+        const uint8_t* rq = quals + soff[r];
+        int64_t ref_i = begin;
+        int64_t read_i = 0;
+        double penalty = 0.0;
+        found.clear();
+        for (int64_t c = coff[r]; c < coff[r + 1]; ++c) {
+            const int32_t length = cig[2 * c];
+            const int32_t op = cig[2 * c + 1];
+            switch (op) {
+            case 0: case 7: case 8: {          // M, EQ, X
+                const int64_t ro = ref_i - chunk_begin;
+                for (int32_t i = 0; i < length; ++i) {
+                    if (ro + i < 0 || ro + i >= ref_n) continue;
+                    const uint8_t rb = ref[ro + i], qb = rs[read_i + i];
+                    if (rb != qb && rb != 4 && qb != 4) {
+                        found.push_back({(int32_t)r, (int32_t)(read_i + i), 1, 0,
+                                         ref_i + i, ref_i + i + 1, 0, 0, {}});
+                        if (rq[read_i + i] >= snv_threshold) penalty += snv_pen;
+                    }
+                }
+                read_i += length;
+                ref_i += length;
+                break;
+            }
+            case 1:                            // I
+                found.push_back({(int32_t)r, (int32_t)read_i, length, 0,
+                                 ref_i, ref_i, 0, 0, {}});
+                read_i += length;
+                penalty += indel_pen;
+                break;
+            case 2:                            // D
+                found.push_back({(int32_t)r, (int32_t)read_i, 0, 0,
+                                 ref_i, ref_i + length, 0, 0, {}});
+                ref_i += length;
+                penalty += indel_pen;
+                break;
+            case 4:                            // S
+                read_i += length;
+                if (length > max_clip) penalty += clip_pen;
+                break;
+            case 5:                            // H
+                if (length > max_clip) penalty += clip_pen;
+                break;
+            case 3: case 6:                    // NSKIP, P
+                ref_i += length;
+                break;
+            default:
+                break;
+            }
+        }
+        uint8_t misaligned = 0;
+        if (use_filter) {
+            const int64_t k = (int64_t)std::floor(penalty);
+            if (k > 0) {
+                const double ln_missmap = -(std::log(10.0) / 10.0) * mapq[r];
+                const double ln_mapped =
+                    mapq[r] > 0 ? std::log1p(-std::exp(ln_missmap))
+                                : -std::numeric_limits<double>::infinity();
+                const double mu = mut_rate * (double)(end - begin);
+                if (ln_mapped + poisson_lnsf(k - 1, mu) < min_ln_prob)
+                    misaligned = 1;
+            }
+        }
+        for (auto& f : found) {
+            if (f.end - f.begin > max_var_size) continue;
+            int32_t sum_q = 0;
+            for (int32_t i = 0; i < f.alt_len; ++i) sum_q += rq[f.offset + i];
+            f.sum_q = sum_q;
+            f.at_edge = (f.begin == begin || f.end == end) ? 1 : 0;
+            f.misaligned = misaligned;
+            out.push_back(f);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyObject* result = PyBytes_FromStringAndSize(
+        (const char*)out.data(), (Py_ssize_t)(out.size() * sizeof(ScanCand)));
+    PyBuffer_Release(&ref_b); PyBuffer_Release(&beg_b); PyBuffer_Release(&end_b);
+    PyBuffer_Release(&mq_b); PyBuffer_Release(&seq_b); PyBuffer_Release(&qual_b);
+    PyBuffer_Release(&soff_b); PyBuffer_Release(&cig_b); PyBuffer_Release(&coff_b);
+    return result;
+}
+
+// ---------------------------------------------------------------------------
+// Affine-gap global alignment (GlobalAligner equivalent; reference:
+// src/core/tools/vargen/utils/global_aligner.cpp).  Mirrors
+// octopus_tpu.core.vargen.assembler.global_align exactly, including its
+// argmax tie-breaking (M before X before Y) and gap-open backtrack
+// preference.
+// ---------------------------------------------------------------------------
+
+// global_align(a: u8, b: u8, match, mismatch, gap_open, gap_extend)
+//   -> int32-le bytes of (length, op) pairs; op: 0=M 1=I 2=D
+static PyObject* global_align_native(PyObject*, PyObject* args) {
+    Py_buffer a_b, b_b;
+    int match, mismatch, gap_open, gap_extend;
+    if (!PyArg_ParseTuple(args, "y*y*iiii", &a_b, &b_b, &match, &mismatch,
+                          &gap_open, &gap_extend))
+        return nullptr;
+    const uint8_t* a = (const uint8_t*)a_b.buf;
+    const uint8_t* b = (const uint8_t*)b_b.buf;
+    const int64_t n = a_b.len, m = b_b.len;
+    std::vector<int32_t> out_ops;
+    Py_BEGIN_ALLOW_THREADS
+    const int64_t NEG = -((int64_t)1 << 30);
+    const int64_t w = m + 1;
+    std::vector<int64_t> M((n + 1) * w, NEG), X((n + 1) * w, NEG),
+        Y((n + 1) * w, NEG);
+    M[0] = 0;
+    for (int64_t i = 1; i <= n; ++i) X[i * w] = gap_open + (i - 1) * gap_extend;
+    for (int64_t j = 1; j <= m; ++j) Y[j] = gap_open + (j - 1) * gap_extend;
+    for (int64_t i = 1; i <= n; ++i) {
+        const uint8_t ai = a[i - 1];
+        for (int64_t j = 1; j <= m; ++j) {
+            const int64_t pm = M[(i - 1) * w + j - 1], px = X[(i - 1) * w + j - 1],
+                          py = Y[(i - 1) * w + j - 1];
+            int64_t best = pm > px ? pm : px;
+            if (py > best) best = py;
+            M[i * w + j] = best + (ai == b[j - 1] ? match : mismatch);
+            const int64_t xo = M[(i - 1) * w + j] + gap_open,
+                          xe = X[(i - 1) * w + j] + gap_extend;
+            X[i * w + j] = xo > xe ? xo : xe;
+            const int64_t yo = M[i * w + j - 1] + gap_open,
+                          ye = Y[i * w + j - 1] + gap_extend;
+            Y[i * w + j] = yo > ye ? yo : ye;
+        }
+    }
+    int64_t i = n, j = m;
+    auto argmax3 = [](int64_t x0, int64_t x1, int64_t x2) -> int {
+        // first max wins, matching np.argmax([M, X, Y])
+        if (x0 >= x1 && x0 >= x2) return 0;
+        if (x1 >= x2) return 1;
+        return 2;
+    };
+    int state = argmax3(M[n * w + m], X[n * w + m], Y[n * w + m]);
+    std::vector<std::pair<int32_t, int32_t>> ops;  // (length, op)
+    auto push = [&ops](int32_t op) {
+        if (!ops.empty() && ops.back().second == op)
+            ++ops.back().first;
+        else
+            ops.push_back({1, op});
+    };
+    while (i > 0 || j > 0) {
+        if (state == 0 && i > 0 && j > 0) {
+            const int prev = argmax3(M[(i - 1) * w + j - 1],
+                                     X[(i - 1) * w + j - 1],
+                                     Y[(i - 1) * w + j - 1]);
+            push(0);
+            --i; --j;
+            state = prev;
+        } else if (state == 1 && i > 0) {
+            if (X[i * w + j] == M[(i - 1) * w + j] + gap_open) state = 0;
+            push(2);  // D consumes a
+            --i;
+        } else if (state == 2 && j > 0) {
+            if (Y[i * w + j] == M[i * w + j - 1] + gap_open) state = 0;
+            push(1);  // I consumes b
+            --j;
+        } else {
+            state = i > 0 ? 1 : 2;
+        }
+    }
+    out_ops.reserve(ops.size() * 2);
+    for (auto it = ops.rbegin(); it != ops.rend(); ++it) {
+        out_ops.push_back(it->first);
+        out_ops.push_back(it->second);
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&a_b); PyBuffer_Release(&b_b);
+    return PyBytes_FromStringAndSize(
+        (const char*)out_ops.data(),
+        (Py_ssize_t)(out_ops.size() * sizeof(int32_t)));
+}
+
 // count_runs(mask: int16 buffer, max_gap) -> int32 bytes
 // Mirrors octopus_tpu.core.likelihood.error_models._count_runs (which in
 // turn mirrors count_runs in repeat_based_snv_error_model.cpp): for each
@@ -812,6 +1470,18 @@ static PyMethodDef methods[] = {
      "Batched banded align + flank-score discount -> int32-le scores."},
     {"count_runs", count_runs, METH_VARARGS,
      "Repeat-run lengths ending at each position -> int32-le bytes."},
+    {"decode_bam_records", decode_bam_records, METH_VARARGS,
+     "Full BAM record decode for one region -> tuple of flat field buffers."},
+    {"global_align", global_align_native, METH_VARARGS,
+     "Affine-gap global alignment -> int32-le (length, op) pairs."},
+    {"scan_cigar_reads", scan_cigar_reads, METH_VARARGS,
+     "CIGAR candidate scan over a ReadBatch -> packed ScanCand records."},
+    {"tandem_repeats", tandem_repeats, METH_VARARGS,
+     "Maximal exact tandem repeats -> int32-le (pos, length, period) triples."},
+    {"snv_priors", snv_priors, METH_VARARGS,
+     "Repeat-context SNV penalty caps -> (fwd, rev) int16-le bytes."},
+    {"indel_penalties", indel_penalties, METH_VARARGS,
+     "Repeat-context indel gap penalties -> (open, extend) int16-le bytes."},
     {"extract_bubbles", extract_bubbles, METH_VARARGS,
      "De-Bruijn bubble extraction -> [(ref_start_i, ref_end_i, alt, score)] or None."},
     {"inflate_bgzf", inflate_bgzf, METH_VARARGS,

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-w", "--working-directory")
     g.add_argument("--resolve-symlinks", action="store_true")
     g.add_argument("--threads", type=int, nargs="?", const=0, default=0)
+    # workers default to processes (the python host pipeline is GIL-bound);
+    # --thread-workers restores the in-process pool (reference analog:
+    # octopus.cpp:1226-1342 thread scheduler)
+    g.add_argument("--thread-workers", action="store_true")
     g.add_argument("-X", "--max-reference-cache-memory", type=_mem,
                    default=_mem("500MB"))
     g.add_argument("-B", "--target-read-buffer-memory", type=_mem,

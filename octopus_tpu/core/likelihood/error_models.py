@@ -110,6 +110,16 @@ class RepeatBasedSnvErrorModel:
     def evaluate(self, codes: np.ndarray, substitution_mask: np.ndarray | None = None) -> SnvErrorResult:
         n = len(codes)
         max_q = self.max_quality
+        if _native is not None and hasattr(_native, "snv_priors"):
+            sub = (np.ascontiguousarray(substitution_mask, np.uint8).tobytes()
+                   if substitution_mask is not None and substitution_mask.any()
+                   else b"")
+            fwd_b, rev_b = _native.snv_priors(
+                np.ascontiguousarray(codes, np.uint8).tobytes(), sub, max_q,
+                *(c.tobytes() for c in self._caps_arr))
+            return SnvErrorResult(
+                np.roll(codes, 1), np.frombuffer(fwd_b, np.int16).copy(),
+                np.roll(codes, -1), np.frombuffer(rev_b, np.int16).copy())
         fwd = np.full(n, max_q, dtype=np.int16)
         rev = np.full(n, max_q, dtype=np.int16)
         repeats = extract_exact_tandem_repeats(codes, 1, self.MAX_PERIOD)
@@ -241,6 +251,16 @@ class RepeatBasedIndelErrorModel:
 
     def set_penalties(self, codes: np.ndarray) -> IndelErrorResult:
         n = len(codes)
+        if _native is not None and hasattr(_native, "indel_penalties"):
+            t = lambda xs: np.asarray(xs, np.int16).tobytes()
+            open_b, ext_b = _native.indel_penalties(
+                np.ascontiguousarray(codes, np.uint8).tobytes(),
+                int(self.default_open), int(self.default_extend),
+                t(self._at_open), t(self._cg_open), t(self._di_open),
+                t(self._tri_open), t(self._homo_ext), t(self._di_ext),
+                t(self._tri_ext))
+            return IndelErrorResult(np.frombuffer(open_b, np.int16).copy(),
+                                    np.frombuffer(ext_b, np.int16).copy())
         gap_open = np.full(n, self.default_open, dtype=np.int16)
         gap_extend = np.full(n, self.default_extend, dtype=np.int16)
         repeats = extract_exact_tandem_repeats(codes, 1, self.MAX_PERIOD)

@@ -114,11 +114,18 @@ def read_kmer_hashes(seq_flat: np.ndarray, seq_offsets: np.ndarray) -> tuple[np.
     out_lens = np.maximum(lens - K + 1, 0)
     hash_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(out_lens, out=hash_offsets[1:])
-    parts = []
-    for i in range(n):
-        parts.append(kmer_hashes(seq_flat[seq_offsets[i]:seq_offsets[i + 1]]))
-    flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
-    return flat, hash_offsets
+    total = int(hash_offsets[-1])
+    if total == 0 or len(seq_flat) < K:
+        return np.zeros(0, np.int64), hash_offsets
+    # one rolling-hash pass over the whole flat buffer; each read's hashes
+    # are the contiguous slice starting at its seq offset (windows that span
+    # a read boundary are simply not selected)
+    folded = np.where(seq_flat >= 4, 0, seq_flat).astype(np.int64)
+    all_hashes = np.lib.stride_tricks.sliding_window_view(folded, K) @ _POW4
+    idx = (np.repeat(seq_offsets[:-1], out_lens)
+           + np.arange(total)
+           - np.repeat(hash_offsets[:-1], out_lens))
+    return all_hashes[idx], hash_offsets
 
 
 __all__ = [

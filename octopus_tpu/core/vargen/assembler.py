@@ -210,6 +210,13 @@ def global_align(a: np.ndarray, b: np.ndarray, match: int = 2,
                  gap_extend: int = -1) -> list[tuple[int, str]]:
     """Needleman-Wunsch with affine gaps; returns [(length, op)] with ops
     M/I/D where I consumes `b` (the alt) and D consumes `a` (the ref)."""
+    if _native is not None and hasattr(_native, "global_align"):
+        raw = _native.global_align(
+            np.ascontiguousarray(a, np.uint8).tobytes(),
+            np.ascontiguousarray(b, np.uint8).tobytes(),
+            int(match), int(mismatch), int(gap_open), int(gap_extend))
+        pairs = np.frombuffer(raw, np.int32).reshape(-1, 2)
+        return [(int(l), "MID"[op]) for l, op in pairs]
     n, m = len(a), len(b)
     NEG = -(1 << 30)
     M = np.full((n + 1, m + 1), NEG, np.int64)

@@ -21,11 +21,15 @@ import math
 from dataclasses import dataclass, field
 
 import numpy as np
-from scipy import stats as sps
 
 from ...basics import cigar as cg
 from ...basics.reads import ReadBatch
 from ..types.variants import Variant
+
+try:  # native whole-batch scan (native/octopus_native.cpp:scan_cigar_reads)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
 
 LN10_DIV_10 = math.log(10) / 10
 
@@ -94,8 +98,55 @@ class CigarScanner:
         hi = int(batch.ends.max())
         ref_chunk = self.reference.fetch_codes(self.contig, lo, hi)
         is_fwd = ~batch.is_reverse()
+        if _native is not None and hasattr(_native, "scan_cigar_reads"):
+            self._scan_batch_native(sample, batch, ref_chunk, lo, is_fwd)
+        else:
+            for r in range(len(batch)):
+                self._scan_read(sample, batch, r, ref_chunk, lo, bool(is_fwd[r]))
+
+    def _scan_batch_native(self, sample, batch, ref_chunk, chunk_begin, is_fwd):
+        """One native call scans the whole batch (_scan_read semantics)."""
+        opt = self.options
+        raw = _native.scan_cigar_reads(
+            np.ascontiguousarray(ref_chunk, np.uint8).tobytes(),
+            int(chunk_begin),
+            np.ascontiguousarray(batch.begins, np.int64).tobytes(),
+            np.ascontiguousarray(batch.ends, np.int64).tobytes(),
+            np.ascontiguousarray(batch.mapq, np.uint8).tobytes(),
+            np.ascontiguousarray(batch.seq, np.uint8).tobytes(),
+            np.ascontiguousarray(batch.quals, np.uint8).tobytes(),
+            np.ascontiguousarray(batch.seq_offsets, np.int64).tobytes(),
+            np.ascontiguousarray(batch.cigar_ops, np.int32).tobytes(),
+            np.ascontiguousarray(batch.cigar_offsets, np.int64).tobytes(),
+            int(opt.snv_threshold), float(opt.snv_penalty),
+            float(opt.indel_penalty), float(opt.clip_penalty),
+            int(opt.max_unpenalised_clip_size), int(opt.max_variant_size),
+            int(bool(opt.use_misalignment_filter)),
+            float(opt.max_expected_mutation_rate),
+            float(opt.min_ln_prob_correctly_aligned))
+        rec = np.frombuffer(raw, dtype=np.dtype([
+            ("read", np.int32), ("offset", np.int32), ("alt_len", np.int32),
+            ("sum_q", np.int32), ("begin", np.int64), ("end", np.int64),
+            ("at_edge", np.uint8), ("misaligned", np.uint8),
+            ("pad", np.uint8, 6)]))
+        seq = batch.seq
+        soff = batch.seq_offsets
+        mapq = batch.mapq
+        begins_arr = batch.begins
+        append = self._candidates.append
+        for c in rec:
+            r = int(c["read"])
+            b, e = int(c["begin"]), int(c["end"])
+            alt_len = int(c["alt_len"])
+            o = int(soff[r]) + int(c["offset"])
+            alt = seq[o:o + alt_len].tobytes()
+            ref = ref_chunk[b - chunk_begin:e - chunk_begin].tobytes()
+            append(_Candidate(b, e, ref, alt, sample, bool(is_fwd[r]),
+                              int(c["sum_q"]), bool(c["at_edge"]),
+                              int(mapq[r]), bool(c["misaligned"])))
         for r in range(len(batch)):
-            self._scan_read(sample, batch, r, ref_chunk, lo, bool(is_fwd[r]))
+            self._cov_events.append((sample, int(begins_arr[r]),
+                                     int(batch.ends[r]), 1, bool(is_fwd[r])))
 
     def _scan_read(self, sample, batch, r, ref_chunk, chunk_begin, forward):
         opt = self.options
@@ -381,6 +432,7 @@ def _is_good_germline(v: Variant, depth, fwd_depth, fwd_support, quals,
 
 
 def _beta_sf(a, b, x) -> float:
+    from scipy import stats as sps   # lazy: scipy.stats costs ~1.8s to import
     return float(sps.beta.sf(x, max(a, 1), max(b, 1)))
 
 

@@ -22,6 +22,11 @@ from ..basics import cigar as cg
 from ..basics.reads import ReadBatch
 from .bgzf import BgzfReader
 
+try:  # native one-pass record decode (native/octopus_native.cpp)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 # 4-bit encoded bases: =ACMGRSVTWYHKDBN -> our codes (A0 C1 G2 T3 N4)
 _SEQ4_TO_CODE = np.full(16, 4, dtype=np.uint8)
 _SEQ4_TO_CODE[1] = 0   # A
@@ -203,6 +208,9 @@ class BamFile:
 
     def _decode_records(self, buf: bytes, ref_id: int, begin: int, end: int,
                         keep_names: bool, keep_aux: bool = False) -> dict[str, ReadBatch]:
+        if _native is not None and hasattr(_native, "decode_bam_records"):
+            return self._decode_records_native(buf, ref_id, begin, end,
+                                               keep_names, keep_aux)
         arr = np.frombuffer(buf, dtype=np.uint8)
         n_bytes = len(arr)
         # first pass: record boundaries
@@ -381,6 +389,106 @@ class BamFile:
             out[sample] = batch.sorted_by_begin()
         return out
 
+    def _decode_records_native(self, buf: bytes, ref_id: int, begin: int,
+                               end: int, keep_names: bool,
+                               keep_aux: bool) -> dict[str, ReadBatch]:
+        """One native pass decodes, filters and unpacks every record
+        (native/octopus_native.cpp:decode_bam_records)."""
+        (pos_b, ends_b, mapq_b, flags_b, nref_b, npos_b, tlen_b, hash_b,
+         nameblob, nameoff_b, seq_b, qual_b, soff_b, cig_b, coff_b,
+         auxs_b, auxe_b) = _native.decode_bam_records(
+            buf, ref_id, int(begin), int(end), _SEQ4_TO_CODE.tobytes())
+        rec_pos = np.frombuffer(pos_b, np.int64)
+        n = len(rec_pos)
+        contig = self.header.ref_names[ref_id]
+        if n == 0:
+            return {}
+        ends = np.frombuffer(ends_b, np.int64)
+        mapq = np.frombuffer(mapq_b, np.uint8)
+        flags = np.frombuffer(flags_b, np.uint16)
+        next_ref = np.frombuffer(nref_b, np.int32)
+        next_pos = np.frombuffer(npos_b, np.int64)
+        tlen = np.frombuffer(tlen_b, np.int32)
+        name_hashes = np.frombuffer(hash_b, np.uint64)
+        name_offsets = np.frombuffer(nameoff_b, np.int64)
+        seq = np.frombuffer(seq_b, np.uint8)
+        quals = np.frombuffer(qual_b, np.uint8)
+        seq_offsets = np.frombuffer(soff_b, np.int64)
+        cigar_ops = np.frombuffer(cig_b, np.int32).reshape(-1, 2)
+        cigar_offsets = np.frombuffer(coff_b, np.int64)
+        aux_start = np.frombuffer(auxs_b, np.int64)
+        aux_end = np.frombuffer(auxe_b, np.int64)
+        names = None
+        if keep_names:
+            names = [nameblob[int(name_offsets[i]):int(name_offsets[i + 1])]
+                     .decode("latin-1") for i in range(n)]
+        samples = self.header.samples
+        if len(samples) == 1:
+            sample_of = None
+        else:
+            sample_of = np.zeros(n, np.int64)
+            for k in range(n):
+                rg = _find_rg(buf, int(aux_start[k]), int(aux_end[k]))
+                if rg is not None:
+                    sm = self.header.read_group_sample.get(rg, samples[0])
+                    sample_of[k] = samples.index(sm) if sm in samples else 0
+        arr = np.frombuffer(buf, np.uint8)
+        aux_lens = aux_end - aux_start
+
+        def build(sel: np.ndarray | None) -> ReadBatch:
+            if sel is None:            # single sample: flat arrays as-is
+                batch = ReadBatch(
+                    contig=contig, begins=rec_pos.copy(), ends=ends.copy(),
+                    mapq=mapq.copy(), flags=flags.copy(),
+                    seq=seq.copy(), quals=quals.copy(),
+                    seq_offsets=seq_offsets.copy(),
+                    cigar_ops=cigar_ops.copy(),
+                    cigar_offsets=cigar_offsets.copy(),
+                    mate_begins=next_pos.copy(),
+                    mate_same_contig=(next_ref == ref_id),
+                    template_lengths=tlen.copy(),
+                    names=names, name_hashes=name_hashes.copy())
+                if keep_aux:
+                    batch.aux, batch.aux_offsets = _ragged_slice(
+                        arr, aux_start, aux_lens)
+                return batch
+            lens_sel = np.diff(seq_offsets)[sel]
+            new_soff = np.zeros(len(sel) + 1, np.int64)
+            np.cumsum(lens_sel, out=new_soff[1:])
+            gidx = (np.repeat(seq_offsets[sel], lens_sel)
+                    + np.arange(int(new_soff[-1]))
+                    - np.repeat(new_soff[:-1], lens_sel))
+            ops_sel = np.diff(cigar_offsets)[sel]
+            new_coff = np.zeros(len(sel) + 1, np.int64)
+            np.cumsum(ops_sel, out=new_coff[1:])
+            cgidx = (np.repeat(cigar_offsets[sel], ops_sel)
+                     + np.arange(int(new_coff[-1]))
+                     - np.repeat(new_coff[:-1], ops_sel))
+            batch = ReadBatch(
+                contig=contig, begins=rec_pos[sel], ends=ends[sel],
+                mapq=mapq[sel], flags=flags[sel],
+                seq=seq[gidx], quals=quals[gidx], seq_offsets=new_soff,
+                cigar_ops=cigar_ops[cgidx], cigar_offsets=new_coff,
+                mate_begins=next_pos[sel],
+                mate_same_contig=(next_ref[sel] == ref_id),
+                template_lengths=tlen[sel],
+                names=None if names is None else [names[int(k)] for k in sel],
+                name_hashes=name_hashes[sel])
+            if keep_aux:
+                batch.aux, batch.aux_offsets = _ragged_slice(
+                    arr, aux_start[sel], aux_lens[sel])
+            return batch
+
+        out: dict[str, ReadBatch] = {}
+        for si, sample in enumerate(samples):
+            if sample_of is None:
+                out[sample] = build(None).sorted_by_begin()
+            else:
+                sel = np.flatnonzero(sample_of == si)
+                out[sample] = (ReadBatch.empty(contig) if len(sel) == 0
+                               else build(sel).sorted_by_begin())
+        return out
+
     def _route_samples(self, arr, starts, l_read_name, n_cigar, l_seq, n) -> np.ndarray:
         """Sample index per record from the RG aux tag (python loop over the
         aux region only; cheap relative to decode)."""
@@ -399,6 +507,19 @@ class BamFile:
                 sm = self.header.read_group_sample.get(rg, samples[0])
                 out[k] = samples.index(sm) if sm in samples else 0
         return out
+
+
+def _ragged_slice(arr: np.ndarray, starts: np.ndarray,
+                  lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate arr[starts[i]:starts[i]+lens[i]] -> (flat, offsets)."""
+    offs = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return np.zeros(0, np.uint8), offs
+    gidx = (np.repeat(starts, lens) + np.arange(total)
+            - np.repeat(offs[:-1], lens))
+    return arr[gidx], offs
 
 
 _TAG_SIZES = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4, "A": 1}

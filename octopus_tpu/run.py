@@ -276,6 +276,23 @@ def run_calling(args) -> int:
     t0 = time.time()
     from .utils import timers
     timers.enabled = bool(getattr(args, "benchmark", False))
+    setup = _setup_components(args)
+    if isinstance(setup, int):
+        return setup
+    (components, reference, bams, samples, regions, pipe, csr, annotations,
+     header, refcall_mode) = setup
+    return _run_calling_main(args, components, reference, bams, samples,
+                             regions, pipe, csr, annotations, header,
+                             refcall_mode, t0)
+
+
+def _setup_components(args):
+    """Build the shared calling components from parsed options.
+
+    Returns the component tuple, or an int exit code on a user error.  Also
+    used by process workers to rebuild identical state in their own address
+    space (the reference's per-thread components are shared-memory;
+    calling_components.hpp:35-175)."""
     from .config.options import collate
     try:
         components = collate(args)
@@ -376,7 +393,73 @@ def run_calling(args) -> int:
     refcall_mode = getattr(args, "refcall", None)
     if refcall_mode:
         header.add_info("END", "1", "Integer", "End position of reference block")
+    return (components, reference, bams, samples, regions, pipe, csr,
+            annotations, header, refcall_mode)
 
+
+# -- process-pool workers ----------------------------------------------------
+# Worker processes rebuild the (read-only) components from the parsed args in
+# their own address space, then call windows independently: genuine
+# parallelism for the numpy/python host pipeline, which the GIL serialises
+# under the thread pool.  Workers run host/CPU-only (JAX_PLATFORMS=cpu) so
+# only the parent process owns the TPU.
+
+_WORKER_STATE = None
+
+
+def _process_worker_init(args_dict, env):
+    os.environ.update(env)
+    import argparse
+    global _WORKER_STATE
+    args = argparse.Namespace(**args_dict)
+    setup = _setup_components(args)
+    if isinstance(setup, int):  # pragma: no cover - validated by parent
+        raise RuntimeError(f"worker setup failed with exit code {setup}")
+    (components, reference, bams, samples, regions, pipe, csr, annotations,
+     header, refcall_mode) = setup
+    _WORKER_STATE = dict(
+        args=args, reference=reference, bams=bams, samples=samples,
+        pipe=pipe, csr=csr, annotations=annotations, header=header,
+        refcall_mode=refcall_mode, caller_cache={},
+        caller_kind=(components.caller_kind if components
+                     else getattr(args, "caller", "auto")),
+        caller_config=components.caller if components else None)
+
+
+def _process_worker_run(task):
+    contig, begin, end, key, shard_dir = task
+    st = _WORKER_STATE
+    window = Window(contig, begin, end)
+    records = _call_window(window, st["reference"], st["bams"], st["samples"],
+                           st["pipe"], st["csr"], st["caller_cache"],
+                           st["caller_kind"], st["caller_config"], st["args"],
+                           st["refcall_mode"], st["annotations"])
+    records = _restrict_records(records, st["args"])
+    shard_path = os.path.join(shard_dir, key + ".vcf")
+    with VcfWriter(shard_path, st["header"]) as w:
+        for r in records:
+            w.write(r)
+    return key, shard_path, len(records)
+
+
+def _restrict_records(records, args):
+    """--somatics-only / --denovos-only / --sites-only record filtering
+    (option_collation.cpp:2368-2396)."""
+    if getattr(args, "somatics_only", False):
+        records = [r for r in records if r.info.get("SOMATIC")]
+    if getattr(args, "denovos_only", False):
+        records = [r for r in records if r.info.get("DENOVO")]
+    if getattr(args, "sites_only", False):
+        for r in records:
+            r.format_keys = []
+            r.sample_values = []
+    return records
+
+
+def _run_calling_main(args, components, reference, bams, samples,
+                      regions, pipe, csr, annotations, header,
+                      refcall_mode, t0):
+    from .utils import timers
     windows = propose_windows(reference, regions, bams)
     # checkpointed shard directory keyed by the output path
     out_path = args.output or "octopus-tpu-calls.vcf"
@@ -435,7 +518,55 @@ def run_calling(args) -> int:
                 w.write(r)
         return window, shard_path, len(records)
 
-    if n_threads > 1:
+    # more workers than cores only adds spawn/import cost (each worker is a
+    # full python process); production TPU hosts have ~100 cores, this dev
+    # box has 2
+    n_workers = max(1, min(n_threads, os.cpu_count() or 1))
+    use_processes = (n_workers > 1 and len(pending) > 1
+                     and not getattr(args, "thread_workers", False))
+    if use_processes:
+        # process pool over windows: each worker rebuilds read-only
+        # components and runs the host pipeline without GIL contention (the
+        # reference's thread scheduler maps to processes here because the
+        # host pipeline is python; octopus.cpp:1226-1342).  Workers are
+        # CPU-only; the parent keeps the TPU.
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        window_of = {w.key: w for w in pending}
+        tasks = [(w.contig, w.begin, w.end, w.key, shard_dir)
+                 for w in pending]
+        env = {"JAX_PLATFORMS": "cpu",
+               "OCTOPUS_TPU_HOST_HMM_MAX": os.environ.get(
+                   "OCTOPUS_TPU_WORKER_HOST_HMM_MAX", "1000000000")}
+        # workers must not register the tunneled-TPU PJRT plugin (the
+        # sitecustomize hook keys off this env var, runs at interpreter
+        # start, and costs ~2.4s per process); spawn inherits the parent's
+        # environment, so strip it around pool startup
+        saved_env = {k: os.environ.get(k)
+                     for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            with ProcessPoolExecutor(
+                    max_workers=min(n_workers, len(pending)),
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_process_worker_init,
+                    initargs=(dict(vars(args)), env)) as ex:
+                for key, shard_path, n in ex.map(_process_worker_run, tasks):
+                    window = window_of[key]
+                    done[key] = shard_path
+                    json.dump(done, open(journal_path, "w"))
+                    if queue is not None:
+                        queue.mark_done(key, {"shard": shard_path})
+                    n_records += n
+                    progress.advance(window.end - window.begin)
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    elif n_threads > 1:
         # worker pool over windows; journal written as futures complete in
         # submission order (octopus.cpp:1226-1342 holdback-and-order design)
         from concurrent.futures import ThreadPoolExecutor

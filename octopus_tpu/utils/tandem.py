@@ -26,6 +26,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
+try:  # native single-pass scanner (native/octopus_native.cpp:tandem_repeats)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 
 @dataclass(frozen=True)
 class Repeat:
@@ -99,6 +104,12 @@ def extract_exact_tandem_repeats(
 ) -> list[Repeat]:
     """All maximal exact tandem repeats with primitive period in range,
     sorted by position."""
+    if _native is not None:
+        raw = _native.tandem_repeats(
+            np.ascontiguousarray(codes, dtype=np.uint8).tobytes(),
+            int(min_period), int(max_period))
+        trip = np.frombuffer(raw, dtype=np.int32).reshape(-1, 3)
+        return [Repeat(int(p), int(l), int(q)) for p, l, q in trip]
     out: list[Repeat] = []
     for p in range(max(1, min_period), max_period + 1):
         if p == 1:
