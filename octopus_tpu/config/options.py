@@ -305,15 +305,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 # Options declared for command-line parity whose backends are not wired yet;
 # collate() warns when one is explicitly set.
+#
+# Notes on deliberate near-no-ops (not listed, because behaviour matches):
+# * --aggregate-annotations: measure values are already emitted ALT-
+#   aggregated (min-tail over alleles), which equals the flag's ON
+#   behaviour (variant_call_filter.hpp:47); the flag is accepted.
+# * --regenotype: a stub in the reference too (caller.cpp:211-214).
+# * --sample-dropout-concentrations: the two-level VB here shares clone
+#   haplotype weights across cells (mixture_mixture_vb.py); a per-cell
+#   Dirichlet concentration has no seat in that factorisation (documented
+#   deviation; --dropout-concentration applies to all cells).
 UNWIRED = {
-    "target_working_memory", "resolve_symlinks", "working_directory",
-    "split_long_reads", "use_same_read_profile_for_all_samples",
-    "allow_strand_biased_candidates", "disable_denovo_variant_discovery",
-    "phasing_policy", "use_independent_genotype_priors",
-    "one_based_indexing", "use_filtered_source_candidates",
-    "aggregate_annotations", "use_germline_forest_for_somatic_normals",
-    "regenotype", "somatic_cnv_prior", "max_copy_loss", "max_copy_gain",
-    "use_preprocessed_reads_for_filtering", "sample_dropout_concentrations",
+    "resolve_symlinks", "working_directory",
+    "use_same_read_profile_for_all_samples",
+    "use_germline_forest_for_somatic_normals",
+    "regenotype", "sample_dropout_concentrations",
 }
 
 
@@ -396,6 +402,7 @@ def collate(args) -> CollatedComponents:
         min_good_base_fraction=args.min_good_base_fraction,
         min_read_length=args.min_read_length,
         max_read_length=args.max_read_length,
+        split_long_reads=args.split_long_reads,
         allow_marked_duplicates=args.allow_marked_duplicates,
         allow_octopus_duplicates=args.allow_octopus_duplicates,
         duplicate_read_detection_policy=args.duplicate_read_detection_policy.lower(),
@@ -419,6 +426,9 @@ def collate(args) -> CollatedComponents:
         max_variant_size=args.max_variant_size,
         use_misalignment_filter=not args.force_pileup_candidates,
         copy_number=args.organism_ploidy,
+        # --allow-strand-biased-candidates: skip the strand-bias rejection
+        # clauses of the inclusion predicates (option_parser.cpp:439-441)
+        allow_strand_bias=args.allow_strand_biased_candidates,
     )
     if args.min_supporting_reads is not None:
         scanner.inclusion = "threshold"
@@ -493,11 +503,18 @@ def collate(args) -> CollatedComponents:
         likelihood=likelihood,
         scanner=scanner,
         use_assembler=use_assembler,
-        use_pileup_scanner=not args.disable_pileup_candidate_generator,
+        # --disable-denovo-variant-discovery is the reference's alias for
+        # turning off the pileup generator (option_collation.cpp:751)
+        use_pileup_scanner=not (args.disable_pileup_candidate_generator
+                                or args.disable_denovo_variant_discovery),
         use_repeat_scanner=not args.disable_repeat_candidate_generator,
         assembler=assembler,
         source_vcf=sources[0] if sources else None,
         min_source_candidate_quality=args.min_source_candidate_quality,
+        phasing_policy=args.phasing_policy.lower(),
+        use_independent_genotype_priors=args.use_independent_genotype_priors,
+        use_filtered_source_candidates=args.use_filtered_source_candidates,
+        target_working_memory=args.target_working_memory,
     )
     return CollatedComponents(
         read_pipe=rp,

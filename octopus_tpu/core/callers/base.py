@@ -80,6 +80,18 @@ class BaseCallerConfig:
     bad_region_tolerance: str = "normal"
     model_posterior_policy: str = "all"
     region_merge_distance: int | None = None   # default: read-length scale
+    # --phasing-policy (option_parser.cpp:595-597): CONSERVATIVE holds
+    # active regions together longer (2x merge distance) for cross-site
+    # phasing; AGGRESSIVE/AUTO-diploid keep the early-splitting default
+    # (get_phase_detection_policy, option_collation.cpp:2148-2158)
+    phasing_policy: str = "auto"
+    # --use-independent-genotype-priors (option_collation.cpp:1157-1163)
+    use_independent_genotype_priors: bool = False
+    # --use-filtered-source-candidates (vcf_extractor.hpp extract_filtered)
+    use_filtered_source_candidates: bool = False
+    # --target-working-memory caps the model-evaluation chunk working set
+    # (option_parser.cpp:130-136 'not strictly enforced')
+    target_working_memory: int | None = None
     use_device: bool = True
 
 
@@ -141,7 +153,8 @@ class CallerBase:
                                    use_repeat_scanner=cfg.use_repeat_scanner,
                                    assembler=cfg.assembler,
                                    source_vcf=cfg.source_vcf,
-                                   min_source_quality=cfg.min_source_candidate_quality))
+                                   min_source_quality=cfg.min_source_candidate_quality,
+                                   use_filtered_source=cfg.use_filtered_source_candidates))
         with timers.phase("vargen"):
             for s, batch in enumerate(reads_by_sample):
                 vargen.add_reads(s, batch)
@@ -170,6 +183,17 @@ class CallerBase:
             # under paired/linked linkage) share an active region — the role
             # of the reference's haplotype-tree lagging across windows
             merge_distance = 350 if cfg.read_linkage in ("paired", "linked") else 150
+            # --phasing-policy (get_phase_detection_policy,
+            # option_collation.cpp:2148-2158): early phase splitting is off
+            # for CONSERVATIVE, and off automatically for polyploid or
+            # barcode-linked runs; regions then merge across longer spans so
+            # sites stay jointly phased
+            policy = getattr(cfg, "phasing_policy", "auto")
+            early_split = (policy == "aggressive"
+                           or (policy == "auto" and cfg.ploidy < 3
+                               and cfg.read_linkage != "linked"))
+            if not early_split:
+                merge_distance *= 2
         for begin, end, variants in propose_active_regions(
                 candidates, merge_distance=merge_distance,
                 max_variants_per_region=None):

@@ -43,6 +43,11 @@ class CellCallerConfig(BaseCallerConfig):
     dropout_concentration: float = 5.0      # --dropout-concentration
     phylogeny_concentration: float = 20.0   # --phylogeny-concentration
     clone_prior_penalty: float = math.log(1e-3)   # per extra clone
+    # copy-number change detection; CLI defaults 0/0/1e-5
+    # (option_parser.cpp:699-708; ploidy-1 clamp as cell_caller.cpp:44)
+    max_copy_loss: int = 0                  # --max-copy-loss
+    max_copy_gain: int = 0                  # --max-copy-gain
+    somatic_cnv_prior: float = 1e-5         # --somatic-cnv-prior
 
 
 @dataclass
@@ -80,35 +85,69 @@ class CellCaller(CallerBase):
             s1.score = log_priors[gi] + cell_liks[:, gi].sum()
             s1.assignments = np.zeros(n_cells, int)
             structures.append(s1)
-            if cfg.max_phylogeny_size < 2 or H <= len(set(g)):
-                continue
-            # somatic haplotype candidates ranked by marginal read support
-            cand = [h for h in range(H) if h not in g]
-            support = {h: sum(float(np.sum(ctx.lnL[c][h])) for c in range(n_cells))
-                       for h in cand}
-            cand.sort(key=lambda h: -support[h])
-            cand = cand[:cfg.max_somatic_candidates]
-            for size in range(2, cfg.max_phylogeny_size + 1):
-                if len(cand) < size - 1:
-                    continue
-                for parents in enumerate_tree_shapes(size):
-                    for assign in _permutations(cand, size - 1):
-                        members = [list(g)]
-                        lp_som = 0.0
-                        for node in range(1, size):
-                            parent_members = members[parents[node]]
-                            h = assign[node - 1]
-                            lp_som += max(
-                                denovo.ln_probability(h, int(x), ctx.haplotypes)
-                                for x in parent_members)
-                            members.append(parent_members + [h])
-                        inf = mm.evaluate([ctx.lnL[c] for c in range(n_cells)],
-                                          members)
-                        st = _Structure(int(gi), parents, list(assign), members)
-                        st.score = (inf.log_evidence + log_priors[gi] + lp_som
-                                    + cfg.clone_prior_penalty * (size - 1))
-                        st.assignments = inf.map_assignments
-                        structures.append(st)
+            if cfg.max_phylogeny_size >= 2 and H > len(set(g)):
+                # somatic haplotype candidates ranked by marginal read support
+                cand = [h for h in range(H) if h not in g]
+                support = {h: sum(float(np.sum(ctx.lnL[c][h])) for c in range(n_cells))
+                           for h in cand}
+                cand.sort(key=lambda h: -support[h])
+                cand = cand[:cfg.max_somatic_candidates]
+                for size in range(2, cfg.max_phylogeny_size + 1):
+                    if len(cand) < size - 1:
+                        continue
+                    for parents in enumerate_tree_shapes(size):
+                        for assign in _permutations(cand, size - 1):
+                            members = [list(g)]
+                            lp_som = 0.0
+                            for node in range(1, size):
+                                parent_members = members[parents[node]]
+                                h = assign[node - 1]
+                                lp_som += max(
+                                    denovo.ln_probability(h, int(x), ctx.haplotypes)
+                                    for x in parent_members)
+                                members.append(parent_members + [h])
+                            inf = mm.evaluate([ctx.lnL[c] for c in range(n_cells)],
+                                              members)
+                            st = _Structure(int(gi), parents, list(assign), members)
+                            st.score = (inf.log_evidence + log_priors[gi] + lp_som
+                                        + cfg.clone_prior_penalty * (size - 1))
+                            st.assignments = inf.map_assignments
+                            structures.append(st)
+            # copy-number change clones (cell_caller.cpp:342-355,415-441):
+            # a descendant clone whose genotype loses or gains haplotype
+            # copies relative to the founder, at --somatic-cnv-prior per
+            # copy-change event
+            max_loss = min(cfg.max_copy_loss, cfg.ploidy - 1)
+            max_gain = cfg.max_copy_gain
+            if (max_loss > 0 or max_gain > 0) and cfg.max_phylogeny_size >= 2:
+                ln_cnv = math.log(max(cfg.somatic_cnv_prior, 1e-300))
+                variants_members = []
+                for loss in range(1, max_loss + 1):
+                    seen_m = set()
+                    for drop in _combinations(range(len(g)), loss):
+                        m = [h for k, h in enumerate(g) if k not in set(drop)]
+                        key = tuple(sorted(m))
+                        if key not in seen_m and len(m) >= 1:
+                            seen_m.add(key)
+                            variants_members.append((m, loss))
+                for gain in range(1, max_gain + 1):
+                    seen_m = set()
+                    for dup in _combinations_wr(sorted(set(g)), gain):
+                        m = list(g) + list(dup)
+                        key = tuple(sorted(m))
+                        if key not in seen_m:
+                            seen_m.add(key)
+                            variants_members.append((m, gain))
+                for m, n_events in variants_members:
+                    members = [list(g), m]
+                    inf = mm.evaluate([ctx.lnL[c] for c in range(n_cells)],
+                                      members)
+                    st = _Structure(int(gi), [None, 0], [], members)
+                    st.score = (inf.log_evidence + log_priors[gi]
+                                + n_events * ln_cnv
+                                + cfg.clone_prior_penalty)
+                    st.assignments = inf.map_assignments
+                    structures.append(st)
         scores = np.asarray([s.score for s in structures])
         log_post = scores - logsumexp(scores)
         best = structures[int(np.argmax(log_post))]
@@ -168,6 +207,16 @@ class CellCaller(CallerBase):
 def _permutations(items, k):
     import itertools
     return itertools.permutations(items, k)
+
+
+def _combinations(items, k):
+    import itertools
+    return itertools.combinations(items, k)
+
+
+def _combinations_wr(items, k):
+    import itertools
+    return itertools.combinations_with_replacement(items, k)
 
 
 __all__ = ["CellCaller", "CellCallerConfig"]

@@ -122,14 +122,23 @@ class PopulationCaller(CallerBase):
         combos = list(product(*tops))
         joint_scores = np.empty(len(combos))
         prior_cache: dict[tuple, float] = {}
+        independent_priors = getattr(self.config,
+                                     "use_independent_genotype_priors", False)
         for ci, combo in enumerate(combos):
-            # joint prior: coalescent over the union of haplotypes across
-            # samples (captures shared variation); likelihoods independent
-            hap_union = tuple(sorted(set(int(h) for g in combo for h in genotypes[g])))
-            lp = prior_cache.get(hap_union)
-            if lp is None:
-                lp = ctx.prior_model.evaluate_indices(np.asarray(hap_union))
-                prior_cache[hap_union] = lp
+            if independent_priors:
+                # --use-independent-genotype-priors: per-sample genotype
+                # priors instead of the shared-haplotype population prior
+                # (cli.md:1157-1163; population caller prior model switch)
+                lp = sum(latents[s].log_priors[g] for s, g in enumerate(combo))
+            else:
+                # joint prior: coalescent over the union of haplotypes across
+                # samples (captures shared variation); likelihoods independent
+                hap_union = tuple(sorted(set(int(h) for g in combo
+                                             for h in genotypes[g])))
+                lp = prior_cache.get(hap_union)
+                if lp is None:
+                    lp = ctx.prior_model.evaluate_indices(np.asarray(hap_union))
+                    prior_cache[hap_union] = lp
             joint_scores[ci] = lp + sum(
                 latents[s].log_likelihoods[g] for s, g in enumerate(combo))
         joint_scores -= logsumexp(joint_scores)

@@ -15,6 +15,7 @@ through vmap, so one device launch scores every (genotype, seed) pair.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -102,8 +103,10 @@ class SubcloneModel:
             Np *= 2
         # ~256 MB fp32 working-set budget for (Gc, S, K, Np) intermediates,
         # counted in PADDED elements: K rounds up to 8 sublanes, Np (minor)
-        # to 128 lanes
-        budget_elems = 64_000_000
+        # to 128 lanes; --target-working-memory overrides via the env seam
+        # (option_parser.cpp:130-136 'not strictly enforced')
+        budget_elems = int(os.environ.get("OCTOPUS_TPU_VB_BUDGET_ELEMS",
+                                          64_000_000))
         k_pad = ((K + 7) // 8) * 8
         np_pad = ((Np + 127) // 128) * 128
         gchunk = max(1, budget_elems // max(self.n_seeds * np_pad * (k_pad + 2), 1))

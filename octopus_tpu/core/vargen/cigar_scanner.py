@@ -49,6 +49,9 @@ class ScannerOptions:
     max_unpenalised_clip_size: int = 3
     # inclusion predicate
     inclusion: str = "germline"          # germline | somatic | cell | pacbio | threshold
+    # --allow-strand-biased-candidates (option_parser.cpp:439-441): skip
+    # the strand-bias rejection clauses of the inclusion predicates
+    allow_strand_bias: bool = False
     min_observations: int = 2            # for 'threshold'
     copy_number: int = 2
     min_vaf: float = 0.01                # for 'somatic'
@@ -280,7 +283,8 @@ class CigarScanner:
             esupport = sum(1 for c in cands if c.at_edge)
             sample_stats.append((s, depth, fdepth, quals, fsupport, esupport))
         if opt.inclusion == "germline":
-            if any(_is_good_germline(v, d, fd, fs, list(q), opt.copy_number)
+            if any(_is_good_germline(v, d, fd, fs, list(q), opt.copy_number,
+                                     opt.allow_strand_bias)
                    for _, d, fd, q, fs, _ in sample_stats):
                 return True
             if len(sample_stats) > 1:
@@ -288,19 +292,23 @@ class CigarScanner:
                 tot_fd = sum(st[2] for st in sample_stats)
                 tot_q = [q for st in sample_stats for q in st[3]]
                 tot_fs = sum(st[4] for st in sample_stats)
-                return _is_good_germline(v, tot_d, tot_fd, tot_fs, tot_q, opt.copy_number)
+                return _is_good_germline(v, tot_d, tot_fd, tot_fs, tot_q,
+                                         opt.copy_number, opt.allow_strand_bias)
             return False
         if opt.inclusion == "somatic":
             for s, d, fd, q, fs, es in sample_stats:
                 if opt.normal_sample is not None and s == opt.normal_sample:
-                    if _is_good_germline(v, d, fd, fs, list(q), opt.copy_number):
+                    if _is_good_germline(v, d, fd, fs, list(q), opt.copy_number,
+                                         opt.allow_strand_bias):
                         return True
                 elif _is_good_somatic(v, d, fd, fs, es, list(q),
-                                      opt.min_vaf, opt.min_probability, opt.min_bq):
+                                      opt.min_vaf, opt.min_probability,
+                                      opt.min_bq, opt.allow_strand_bias):
                     return True
             return False
         if opt.inclusion == "cell":
-            return any(_is_good_somatic(v, d, fd, fs, es, list(q), 0.2, 0.5, 15)
+            return any(_is_good_somatic(v, d, fd, fs, es, list(q), 0.2, 0.5, 15,
+                                        opt.allow_strand_bias)
                        for _, d, fd, q, fs, es in sample_stats)
         raise ValueError(f"unknown inclusion predicate {opt.inclusion}")
 
@@ -379,15 +387,17 @@ def _is_tandem_repeat_seq(codes: np.ndarray, max_period: int = 4) -> bool:
 
 
 def _is_good_germline(v: Variant, depth, fwd_depth, fwd_support, quals,
-                      copy_number=2) -> bool:
+                      copy_number=2, allow_strand_bias=False) -> bool:
     support = len(quals)
     if depth < 4:
         return support > 1 or sum(quals) >= 30 or v.is_deletion()
     rev_support = support - fwd_support
     rev_depth = depth - fwd_depth
-    bias = _strand_bias(fwd_support, fwd_depth, rev_support, rev_depth)
-    if support > 20 and bias > 0.99 and _only_one_strand(fwd_support, rev_support):
-        return False
+    if not allow_strand_bias:
+        bias = _strand_bias(fwd_support, fwd_depth, rev_support, rev_depth)
+        if (support > 20 and bias > 0.99
+                and _only_one_strand(fwd_support, rev_support)):
+            return False
     if v.is_snv():
         if _is_runthrough_artifact(fwd_support, rev_support, quals):
             return False
@@ -437,19 +447,21 @@ def _beta_sf(a, b, x) -> float:
 
 
 def _is_good_somatic(v: Variant, depth, fwd_depth, fwd_support, edge_support,
-                     quals, min_vaf, min_probability, min_bq) -> bool:
+                     quals, min_vaf, min_probability, min_bq,
+                     allow_strand_bias=False) -> bool:
     if depth == 0:
         return False
     support = len(quals)
     rev_support = support - fwd_support
     rev_depth = depth - fwd_depth
-    bias = _strand_bias(fwd_support, fwd_depth, rev_support, rev_depth)
     raw_vaf = support / depth
-    if support > 10 and bias > 0.99:
-        if _only_one_strand(fwd_support, rev_support):
-            return False
-        if bias > 0.99999999 and raw_vaf < 0.9:
-            return False
+    if not allow_strand_bias and support > 10:
+        bias = _strand_bias(fwd_support, fwd_depth, rev_support, rev_depth)
+        if bias > 0.99:
+            if _only_one_strand(fwd_support, rev_support):
+                return False
+            if bias > 0.99999999 and raw_vaf < 0.9:
+                return False
     if v.is_snv():
         if _is_runthrough_artifact(fwd_support, rev_support, quals):
             return False

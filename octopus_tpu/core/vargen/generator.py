@@ -29,6 +29,9 @@ class VariantGeneratorConfig:
     randomiser: RandomiserOptions = field(default_factory=RandomiserOptions)
     source_vcf: str | None = None         # --source-candidates
     min_source_quality: float | None = None   # --min-source-candidate-quality
+    # --use-filtered-source-candidates: keep FILTER-failed source records
+    # (vcf_extractor.hpp Options::extract_filtered; default drops them)
+    use_filtered_source: bool = False
     max_variant_size: int = 2000
 
 
@@ -94,6 +97,9 @@ class VariantGenerator:
         out = []
         for rec in VcfReader(self.config.source_vcf):
             if rec.chrom != self.contig:
+                continue
+            if (not self.config.use_filtered_source
+                    and rec.filters and rec.filters not in (["PASS"], ["."])):
                 continue
             if (self.config.min_source_quality is not None
                     and (rec.qual is None or rec.qual < self.config.min_source_quality)):

@@ -44,6 +44,7 @@ class ReadPipeConfig:
     min_good_base_fraction: float | None = None
     min_read_length: int | None = None
     max_read_length: int | None = None
+    split_long_reads: bool = False       # --split-long-reads (cli.md:504-510)
     allow_marked_duplicates: bool = False
     allow_octopus_duplicates: bool = False
     duplicate_read_detection_policy: str = "relaxed"   # relaxed | aggressive
@@ -87,6 +88,11 @@ class ReadPipe:
         report = ReadPipeReport(n_raw=len(batch))
         if len(batch) == 0:
             return batch, report
+        if (self.config.split_long_reads
+                and self.config.max_read_length is not None):
+            # --split-long-reads: fragment instead of filtering
+            # (cli.md:504-510)
+            batch = rt.split_long_reads(batch, self.config.max_read_length)
         if not self.config.disable_preprocessing:
             batch = self._prefilter_transform(batch)
         batch = batch.take(self._filter_mask(batch))

@@ -365,7 +365,118 @@ def mask_clipped_duplicated_bases(batch: ReadBatch, quals: np.ndarray) -> None:
                 _zero_back(quals, o, L, min(back, rb if i == f else fb))
 
 
+def split_long_reads(batch: ReadBatch, max_length: int) -> ReadBatch:
+    """--split-long-reads: reads longer than max_length become several
+    linked fragments instead of being filtered (cli.md:504-510; fragments
+    share the read's name hash, so AlignedTemplate linkage re-joins their
+    likelihoods under --read-linkage LINKED)."""
+    lens = batch.lengths()
+    long_idx = np.flatnonzero(lens > max_length)
+    if len(long_idx) == 0:
+        return batch
+    if batch.name_hashes is None:
+        # fragments must stay linkable: synthesise one hash per source read
+        batch.name_hashes = np.arange(1, len(batch) + 1, dtype=np.uint64)
+    keep = batch.take(np.flatnonzero(lens <= max_length))
+    READ_OPS = {cg.M, cg.I, cg.S, cg.EQ, cg.X}
+    REF_OPS = {cg.M, cg.D, cg.NSKIP, cg.EQ, cg.X}
+    frags = []   # rows of (begin, cigar_ops, seq, quals) + per-read carry
+    for i in long_idx.tolist():
+        seq = batch.sequence(i)
+        quals = batch.qualities(i)
+        cigar = [(int(l), int(op)) for l, op in batch.cigar(i)]
+        ref_pos = int(batch.begins[i])
+        read_pos = 0
+        ci = 0
+        cur_len = None   # remaining length of the op being consumed
+        while ci < len(cigar):
+            # start a fragment at the current (ref, read) position,
+            # skipping leading ref-only ops
+            while ci < len(cigar) and cigar[ci][1] not in READ_OPS:
+                if cigar[ci][1] in REF_OPS:
+                    ref_pos += cigar[ci][0] if cur_len is None else cur_len
+                cur_len = None
+                ci += 1
+            if ci >= len(cigar):
+                break
+            frag_begin = ref_pos
+            frag_read0 = read_pos
+            frag_ops: list[tuple[int, int]] = []
+            taken = 0
+            while ci < len(cigar) and taken < max_length:
+                length, op = cigar[ci]
+                if cur_len is not None:
+                    length = cur_len
+                if op in READ_OPS:
+                    use = min(length, max_length - taken)
+                    frag_ops.append((use, op))
+                    taken += use
+                    read_pos += use
+                    if op in REF_OPS:
+                        ref_pos += use
+                    if use < length:
+                        cur_len = length - use
+                        break
+                else:
+                    # ref-only op inside a fragment
+                    frag_ops.append((length, op))
+                    if op in REF_OPS:
+                        ref_pos += length
+                cur_len = None
+                ci += 1
+            # drop a trailing ref-only op (it belongs between fragments)
+            while frag_ops and frag_ops[-1][1] not in READ_OPS:
+                last = frag_ops.pop()
+                if last[1] in REF_OPS:
+                    pass   # ref_pos already advanced; next fragment starts after it
+            if not frag_ops:
+                continue
+            frags.append((i, frag_begin,
+                          np.asarray(frag_ops, np.int32),
+                          seq[frag_read0:frag_read0 + taken].copy(),
+                          quals[frag_read0:frag_read0 + taken].copy()))
+    if not frags:
+        return keep
+    n = len(frags)
+    seq_offsets = np.zeros(n + 1, np.int64)
+    cig_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(f[3]) for f in frags], out=seq_offsets[1:])
+    np.cumsum([len(f[2]) for f in frags], out=cig_offsets[1:])
+    src = np.asarray([f[0] for f in frags])
+    begins = np.asarray([f[1] for f in frags], np.int64)
+    cigar_ops = np.concatenate([f[2] for f in frags])
+    ref_span = np.asarray([int(np.sum(np.where(
+        np.isin(f[2][:, 1], (cg.M, cg.D, cg.NSKIP, cg.EQ, cg.X)),
+        f[2][:, 0], 0))) for f in frags], np.int64)
+    frag_batch = ReadBatch(
+        contig=batch.contig,
+        begins=begins,
+        ends=begins + ref_span,
+        mapq=batch.mapq[src],
+        flags=batch.flags[src],
+        seq=np.concatenate([f[3] for f in frags]),
+        quals=np.concatenate([f[4] for f in frags]),
+        seq_offsets=seq_offsets,
+        cigar_ops=cigar_ops,
+        cigar_offsets=cig_offsets,
+        mate_begins=None if batch.mate_begins is None else batch.mate_begins[src],
+        mate_same_contig=(None if batch.mate_same_contig is None
+                          else batch.mate_same_contig[src]),
+        template_lengths=(None if batch.template_lengths is None
+                          else batch.template_lengths[src]),
+        names=None if batch.names is None else [batch.names[k] for k in src],
+        name_hashes=(None if batch.name_hashes is None
+                     else batch.name_hashes[src]),
+    )
+    if len(keep) == 0:
+        return frag_batch.sorted_by_begin()
+    # optional columns must agree for concatenate; drop aux on the kept side
+    keep.aux = keep.aux_offsets = None
+    return ReadBatch.concatenate([keep, frag_batch]).sorted_by_begin()
+
+
 __all__ = [
+    "split_long_reads",
     "capitalise_bases", "cap_base_qualities", "mask_overlapped_segment",
     "mask_adapters", "mask_tail", "mask_low_quality_tails",
     "mask_soft_clipped", "mask_soft_clipped_boundary_bases",

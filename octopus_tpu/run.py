@@ -161,16 +161,35 @@ def _subtract_regions(regions, skip):
     return out
 
 
-def parse_region(text: str, reference: ReferenceGenome) -> tuple[str, int, int]:
-    """'chr1:100-200' / 'chr1:100' / 'chr1' (1-based inclusive input)."""
+def parse_region(text: str, reference: ReferenceGenome,
+                 one_based: bool = False) -> tuple[str, int, int]:
+    """'chr1:100-200' / 'chr1:100' / 'chr1:100-' / 'chr1'.
+
+    Reference semantics (io/region/region_parser.cpp:96-140): zero-based
+    half-open by default; 'contig:pos' is the point region [pos, pos+1);
+    'contig:begin-' runs to the contig end; begin/end clamp to the contig.
+    --one-based-indexing shifts the whole region left by one
+    (option_collation.cpp:489-510 transform_to_zero_based)."""
     if ":" not in text:
         return text, 0, reference.contig_size(text)
-    contig, _, rng = text.partition(":")
+    contig, _, rng = text.rpartition(":")
     rng = rng.replace(",", "")
+    size = reference.contig_size(contig)
     if "-" in rng:
-        b, _, e = rng.partition("-")
-        return contig, max(int(b) - 1, 0), int(e)
-    return contig, max(int(rng) - 1, 0), reference.contig_size(contig)
+        b_str, _, e_str = rng.partition("-")
+        b = min(int(b_str), max(size - 1, 0))
+        if e_str == "":
+            e = size
+        else:
+            e = min(int(e_str), size)
+            if b > e:
+                raise ValueError(f"region {text!r} has begin greater than end")
+    else:
+        b = min(int(rng), max(size - 1, 0))
+        e = min(b + 1, size)
+    if one_based and b > 0:
+        b, e = b - 1, e - 1
+    return contig, b, e
 
 
 def _make_caller(kind: str, reference, contig: str, samples: list[str],
@@ -254,6 +273,9 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
                 max_phylogeny_size=arg("max_phylogeny_size", 3),
                 dropout_concentration=arg("dropout_concentration", 5.0),
                 phylogeny_concentration=arg("phylogeny_concentration", 20.0),
+                max_copy_loss=arg("max_copy_loss", 0) or 0,
+                max_copy_gain=arg("max_copy_gain", 0) or 0,
+                somatic_cnv_prior=arg("somatic_cnv_prior", 1e-5) or 1e-5,
             )
         return CellCaller(reference, contig, specialise(CellCallerConfig, **extra))
     if base_config is not None:
@@ -298,6 +320,12 @@ def _setup_components(args):
         components = collate(args)
     except AttributeError:
         components = None
+    twm = getattr(args, "target_working_memory", None)
+    if twm:
+        # --target-working-memory: cap the VB genotype-chunk working set
+        # (fp32 elements; /16 leaves headroom for the 3-4 live intermediates)
+        os.environ["OCTOPUS_TPU_VB_BUDGET_ELEMS"] = str(
+            max(1_000_000, int(twm) // 16))
     reference = ReferenceGenome(
         IndexedFasta(args.reference),
         max_cache_bytes=getattr(args, "max_reference_cache_memory", 256 << 20))
@@ -318,11 +346,13 @@ def _setup_components(args):
                   file=sys.stderr)
             return 2
         samples = [s for s in samples if s in wanted]
+    one_based = getattr(args, "one_based_indexing", False)
     if args.regions:
-        regions = [parse_region(r, reference) for r in args.regions]
+        regions = [parse_region(r, reference, one_based) for r in args.regions]
     elif getattr(args, "regions_file", None):
         with open(args.regions_file) as fh:
-            regions = [parse_region(l.strip(), reference) for l in fh if l.strip()]
+            regions = [parse_region(l.strip(), reference, one_based)
+                       for l in fh if l.strip()]
     else:
         regions = [(c, 0, reference.contig_size(c)) for c in reference.contig_names()]
         # the reference refuses whole-genome runs when reference contigs are
@@ -342,10 +372,12 @@ def _setup_components(args):
                       "(pass --ignore-unmapped-contigs to skip them)",
                       file=sys.stderr)
                 return 2
-    skip = [parse_region(r, reference) for r in getattr(args, "skip_regions", None) or []]
+    skip = [parse_region(r, reference, one_based)
+            for r in getattr(args, "skip_regions", None) or []]
     if getattr(args, "skip_regions_file", None):
         with open(args.skip_regions_file) as fh:
-            skip.extend(parse_region(l.strip(), reference) for l in fh if l.strip())
+            skip.extend(parse_region(l.strip(), reference, one_based)
+                        for l in fh if l.strip())
     if skip:
         regions = _subtract_regions(regions, skip)
     if components:
@@ -661,17 +693,19 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                 if len(batch):
                     per_sample.setdefault(s, []).append(batch)
     batches_by_sample = []
+    raw_by_sample = []
     any_reads = False
     total_raw = total_kept = 0
     for s in samples:
         if per_sample.get(s):
-            b = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
-            b, rep = pipe.process(b)
+            raw = ReadBatch.concatenate(per_sample[s]).sorted_by_begin()
+            b, rep = pipe.process(raw)
             total_raw += rep.n_raw
             total_kept += rep.n_downsampled
             any_reads = any_reads or len(b) > 0
         else:
-            b = ReadBatch.empty(window.contig)
+            raw = b = ReadBatch.empty(window.contig)
+        raw_by_sample.append(raw)
         batches_by_sample.append(b)
     if not any_reads:
         return []
@@ -702,10 +736,21 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
     facet_of_call: dict[int, object] = {}
     phase_len_of_call: dict[int, int] = {}
     if csr is not None and kept_calls:
+        # the reference filters with ALL well-formed reads by default;
+        # --use-preprocessed-reads-for-filtering opts into the calling
+        # pipeline's preprocessed set (cli.md:1543-1549)
+        facet_reads = (batches_by_sample
+                       if getattr(cli_args, "use_preprocessed_reads_for_filtering",
+                                  False)
+                       else raw_by_sample)
         with timers.phase("csr_facets"):
             facet_of_call, phase_len_of_call = _make_facet_bundles(
-                kept_calls, window, reference, batches_by_sample, samples,
+                kept_calls, window, reference, facet_reads, samples,
                 caller.config.ploidy if caller is not None else 2)
+    else:
+        facet_reads = batches_by_sample
+    merged_csr = (merged if facet_reads is batches_by_sample
+                  else ReadBatch.concatenate([b for b in facet_reads if len(b)]))
     for call in kept_calls:
         # keep seam overhang on the LEFT: a call can left-align below
         # window.begin (repeat-spanning indels); the shard reconciliation
@@ -719,10 +764,10 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                          reference.contig_size(window.contig))
             with timers.phase("csr_measures"):
                 measures = compute_measures(
-                    call, merged,
+                    call, merged_csr,
                     ref_codes=reference.fetch_codes(window.contig, ref_lo, ref_hi),
                     ref_begin=ref_lo, pipe_report=window_report,
-                    reads_by_sample=batches_by_sample,
+                    reads_by_sample=facet_reads,
                     facets=facet_of_call.get(id(call)),
                     phase_length=phase_len_of_call.get(id(call)))
             rfgq = None

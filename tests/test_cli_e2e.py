@@ -79,9 +79,17 @@ def test_cli_end_to_end(tmp_path, small_genome):
 def test_parse_region(small_genome):
     fa, seq = small_genome
     ref = ReferenceGenome(IndexedFasta(str(fa)))
+    # reference semantics: zero-based half-open by default
+    # (io/region/region_parser.cpp:96-140)
     assert parse_region("chr1", ref) == ("chr1", 0, 3000)
-    assert parse_region("chr1:101-200", ref) == ("chr1", 100, 200)
-    assert parse_region("chr1:101", ref) == ("chr1", 100, 3000)
+    assert parse_region("chr1:100-200", ref) == ("chr1", 100, 200)
+    assert parse_region("chr1:100", ref) == ("chr1", 100, 101)   # point region
+    assert parse_region("chr1:100-", ref) == ("chr1", 100, 3000)
+    assert parse_region("chr1:5000-9000", ref) == ("chr1", 2999, 3000)  # clamp
+    # --one-based-indexing shifts the whole region left by one
+    # (option_collation.cpp:489-510)
+    assert parse_region("chr1:101-200", ref, one_based=True) == ("chr1", 100, 199)
+    assert parse_region("chr1:101", ref, one_based=True) == ("chr1", 100, 101)
 
 
 def test_checkpoint_resume(tmp_path, small_genome):
@@ -150,7 +158,7 @@ def test_multihost_sharded_run(tmp_path, small_genome):
     bam, _ = write_bam(tmp_path, seq, [500, 2500], [1500])
     out = tmp_path / "multi.vcf"
     base = ["-R", str(fa), "-I", str(bam), "-o", str(out),
-            "-T", "chr1:1-1500", "chr1:1501-3000", "--work-queue"]
+            "-T", "chr1:0-1500", "chr1:1500-3000", "--work-queue"]
     a0 = build_parser().parse_args(base + ["--shard-index", "0", "--num-shards", "2"])
     a1 = build_parser().parse_args(base + ["--shard-index", "1", "--num-shards", "2"])
     run_calling(a0)

@@ -140,3 +140,119 @@ def test_unmapped_contig_check(tmp_path):
     assert run_calling(build_parser().parse_args(argv)) == 0
     text = open(out).read()
     assert "chrEXTRA" not in text.split("#CHROM")[1]
+
+
+# -- round-2 continued: newly wired flags -----------------------------------
+
+def test_split_long_reads_transform():
+    """--split-long-reads fragments over-length reads instead of dropping
+    them (cli.md:504-510); fragments keep the name hash for linkage."""
+    from octopus_tpu.readpipe.transforms import split_long_reads
+
+    seq300 = "".join("ACGT"[i % 4] for i in range(300))
+    batch = make_read_batch("chr1", [
+        (100, "300M", seq300, [30] * 300, 60, 0),
+        (50, "100M", seq300[:100], [30] * 100, 60, 0),
+    ])
+    out = split_long_reads(batch, 150)
+    assert len(out) == 3                       # 2 fragments + 1 untouched
+    lens = sorted(out.lengths().tolist())
+    assert lens == [100, 150, 150]
+    # fragments tile the original alignment
+    frag_rows = [i for i in range(3) if out.read_length(i) == 150]
+    begins = sorted(int(out.begins[i]) for i in frag_rows)
+    assert begins == [100, 250]
+    assert len({int(out.name_hashes[i]) for i in frag_rows}) == 1
+    # a fragment boundary inside an insertion splits the I op
+    batch2 = make_read_batch("chr1", [
+        (0, "100M20I80M", seq300[:200], [30] * 200, 60, 0),
+    ])
+    out2 = split_long_reads(batch2, 110)
+    assert len(out2) == 2
+    assert sum(out2.lengths().tolist()) == 200
+
+
+def test_split_long_reads_in_pipe():
+    from octopus_tpu.readpipe.pipe import ReadPipe, ReadPipeConfig
+
+    seq300 = "".join("ACGT"[i % 4] for i in range(300))
+    batch = make_read_batch("chr1", [(100, "300M", seq300, [30] * 300, 60, 0)])
+    # default: over-length read is filtered out
+    drop, _ = ReadPipe(ReadPipeConfig(max_read_length=150)).process(batch)
+    assert len(drop) == 0
+    keep, _ = ReadPipe(ReadPipeConfig(max_read_length=150,
+                                      split_long_reads=True)).process(batch)
+    assert len(keep) == 2
+
+
+def test_allow_strand_biased_candidates():
+    """The strand-bias rejection clause is skipped under the flag
+    (option_parser.cpp:439-441)."""
+    from octopus_tpu.core.vargen.cigar_scanner import _is_good_germline
+    from octopus_tpu.core.types.variants import Variant
+
+    v = Variant(300, 301, b"A", b"C")
+    quals = [38] * 30
+    # 30 supporting reads all forward over deep two-stranded coverage
+    assert not _is_good_germline(v, 200, 100, 30, quals)
+    assert _is_good_germline(v, 200, 100, 30, quals, allow_strand_bias=True)
+
+
+def test_use_filtered_source_candidates(tmp_path):
+    """FILTER-failed source VCF records are dropped unless the flag is set
+    (vcf_extractor extract_filtered)."""
+    from octopus_tpu.core.vargen.generator import (VariantGenerator,
+                                                   VariantGeneratorConfig)
+    ref, seq = make_reference(seed=70)
+    src = tmp_path / "cand.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.3\n"
+        f"##contig=<ID=chr1,length={len(seq)}>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"chr1\t101\t.\t{seq[100]}\tT\t50\tPASS\t.\n"
+        f"chr1\t201\t.\t{seq[200]}\tT\t50\tq10\t.\n")
+    base = dict(use_pileup_scanner=False, use_repeat_scanner=False)
+    gen = VariantGenerator(ref, "chr1", VariantGeneratorConfig(
+        source_vcf=str(src), **base))
+    assert [v.begin for v in gen.generate(0, len(seq))] == [100]
+    gen2 = VariantGenerator(ref, "chr1", VariantGeneratorConfig(
+        source_vcf=str(src), use_filtered_source=True, **base))
+    assert [v.begin for v in gen2.generate(0, len(seq))] == [100, 200]
+
+
+def test_cell_copy_loss_runs():
+    """--max-copy-loss adds reduced-ploidy clones to the phylogeny search
+    (cell_caller.cpp:342-355); LOH cells may take a ploidy-1 genotype."""
+    from octopus_tpu.core.callers.cell import CellCaller, CellCallerConfig
+
+    ref, seq = make_reference(seed=95)
+    alt = other(seq[300])
+    cells = [
+        sample_reads(seq, ({300: alt}, {}), seed=96, n_reads=60),
+        sample_reads(seq, ({300: alt}, {}), seed=97, n_reads=60),
+        sample_reads(seq, ({}, {}), seed=98, n_reads=60),
+        sample_reads(seq, ({}, {}), seed=99, n_reads=60),
+    ]
+    cfg = CellCallerConfig(use_device=False, max_copy_loss=1,
+                           max_copy_gain=1)
+    cfg.scanner.inclusion = "cell"
+    calls = CellCaller(ref, "chr1", cfg).call(0, 600, cells)
+    assert len(calls) == 1 and calls[0].begin == 300
+    # every cell still receives a genotype (ploidy 1 or 2)
+    assert all(1 <= len(gt) <= 3 for gt in calls[0].genotypes)
+
+
+def test_independent_genotype_priors_smoke():
+    """--use-independent-genotype-priors swaps the joint population prior
+    for per-sample priors (cli.md:1157-1163) and still calls correctly."""
+    from octopus_tpu.core.callers.population import (PopulationCaller,
+                                                     PopulationCallerConfig)
+    ref, seq = make_reference(seed=60)
+    alt = other(seq[250])
+    batches = [sample_reads(seq, ({250: alt}, {}), seed=61 + i, n_reads=60)
+               for i in range(3)]
+    cfg = PopulationCallerConfig(use_device=False,
+                                 use_independent_genotype_priors=True)
+    calls = PopulationCaller(ref, "chr1", cfg).call(0, 600, batches)
+    assert [c.begin for c in calls] == [250]
+    assert all(sorted(gt) == [0, 1] for gt in calls[0].genotypes)
