@@ -579,26 +579,37 @@ def _run_calling_main(args, components, reference, bams, samples,
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
         try:
-            with ProcessPoolExecutor(
-                    max_workers=min(n_workers, len(pending)),
-                    mp_context=mp.get_context("spawn"),
-                    initializer=_process_worker_init,
-                    initargs=(dict(vars(args)), env)) as ex:
-                for key, shard_path, n in ex.map(_process_worker_run, tasks):
-                    window = window_of[key]
-                    done[key] = shard_path
-                    json.dump(done, open(journal_path, "w"))
-                    if queue is not None:
-                        queue.mark_done(key, {"shard": shard_path})
-                    n_records += n
-                    progress.advance(window.end - window.begin)
+            from concurrent.futures.process import BrokenProcessPool
+            try:
+                with ProcessPoolExecutor(
+                        max_workers=min(n_workers, len(pending)),
+                        mp_context=mp.get_context("spawn"),
+                        initializer=_process_worker_init,
+                        initargs=(dict(vars(args)), env)) as ex:
+                    for key, shard_path, n in ex.map(_process_worker_run, tasks):
+                        window = window_of[key]
+                        done[key] = shard_path
+                        json.dump(done, open(journal_path, "w"))
+                        if queue is not None:
+                            queue.mark_done(key, {"shard": shard_path})
+                        n_records += n
+                        progress.advance(window.end - window.begin)
+            except BrokenProcessPool:
+                # spawn re-imports the caller's __main__; an unguarded
+                # driver script kills its own workers.  Fall back to the
+                # in-process pool (the journal skips completed windows).
+                print("octopus-tpu: process workers failed (is the calling "
+                      "script missing an `if __name__ == '__main__'` "
+                      "guard?); falling back to threads", file=sys.stderr)
+                use_processes = False
+                pending = [w for w in pending if w.key not in done]
         finally:
             for k, v in saved_env.items():
                 if v is None:
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
-    elif n_threads > 1:
+    if not use_processes and n_threads > 1 and len(pending) > 1:
         # worker pool over windows; journal written as futures complete in
         # submission order (octopus.cpp:1226-1342 holdback-and-order design)
         from concurrent.futures import ThreadPoolExecutor
@@ -613,7 +624,7 @@ def _run_calling_main(args, components, reference, bams, samples,
                     queue.mark_done(window.key, {"shard": shard_path})
                 n_records += n
                 progress.advance(window.end - window.begin)
-    else:
+    elif not use_processes:
         for window in pending:
             window, shard_path, n = run_one(window)
             n_records += n
