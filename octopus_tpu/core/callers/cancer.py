@@ -91,9 +91,9 @@ class CancerCallerConfig(BaseCallerConfig):
     min_expected_somatic_frequency: float = 0.01
     somatic_credible_mass: float = 0.9
     min_credible_somatic_frequency: float = 0.005
-    # --normal-contamination-risk HIGH skips the normal-sample somatic veto
-    # (the reference instead routes through a contaminated-normal noise
-    # model, cancer_caller.cpp:384-391,521-524; documented deviation)
+    # --normal-contamination-risk HIGH disables both normal-sample vetoes:
+    # the credible-region check and the normal-only noise-model fit
+    # (evaluate_noise_model, cancer_caller.cpp:572-588,1254-1266)
     normal_contamination_risk: str = "low"
 
 
@@ -179,6 +179,35 @@ class CancerCaller(CallerBase):
             somatic_ev = logsumexp(somatic_joint)
             somatic_post = np.exp(somatic_joint - somatic_ev)
 
+        # -- noise model (evaluate_noise_model, cancer_caller.cpp:572-588):
+        # fit the somatic mixture on the NORMAL sample alone with
+        # tumour-like concentrations over the high-posterior cancer
+        # genotypes; if its evidence beats the normal's germline evidence
+        # AND the normal's somatic weight is credibly non-zero, the
+        # "somatic" signal lives in the normal too -> veto somatic calls
+        # (cancer_caller.cpp:1254-1266)
+        noise_veto = False
+        if (cancer_tuples and cfg.normal_sample is not None
+                and str(cfg.normal_contamination_risk).lower() != "high"):
+            s = cfg.normal_sample
+            normal_germ_ev = float(logsumexp(log_priors + likelihoods[s]))
+            top = np.argsort(somatic_joint)[::-1][:min(10, len(tuples))]
+            inf_noise = vb.evaluate(tuples[top], ctx.lnL[s],
+                                    alpha0_vec=conc_tumour)
+            noise_ev = float(logsumexp(
+                np.asarray(cancer_prior)[top]
+                + inf_noise.genotype_log_evidences))
+            if noise_ev > normal_germ_ev:
+                from scipy.stats import beta as beta_dist
+                best_local = int(np.argmax(inf_noise.genotype_log_evidences))
+                a = np.asarray(inf_noise.map_alphas, dtype=np.float64)[best_local]
+                a_som = float(a[-1])
+                a_rest = float(a.sum()) - a_som
+                noise_mass = 1.0 - float(beta_dist.cdf(
+                    cfg.min_expected_somatic_frequency, a_som, a_rest))
+                if noise_mass > 2 * cfg.min_credible_somatic_frequency:
+                    noise_veto = True
+
         # -- model comparison ----------------------------------------------
         if cfg.normal_sample is not None:
             model_priors = np.log(np.asarray([0.09, 0.01, 0.9]))
@@ -191,7 +220,8 @@ class CancerCaller(CallerBase):
 
         return self._make_calls(ctx, genotypes, germline_post, model_post,
                                 cancer_meta, somatic_post,
-                                som_alphas_by_s if cancer_tuples else None)
+                                som_alphas_by_s if cancer_tuples else None,
+                                noise_veto=noise_veto)
 
     def _somatic_vaf_gates(self, som_alphas_by_s, map_t):
         """Somatic-VAF posterior statistics of the MAP cancer genotype.
@@ -215,7 +245,8 @@ class CancerCaller(CallerBase):
         return 1.0 - inv_mass, qualifies
 
     def _make_calls(self, ctx, genotypes, germline_post, model_post,
-                    cancer_meta, somatic_post, som_alphas_by_s=None) -> list[SiteCall]:
+                    cancer_meta, somatic_post, som_alphas_by_s=None,
+                    noise_veto=False) -> list[SiteCall]:
         cfg = self.config
         log_g = np.log(np.clip(germline_post, 1e-300, None))
         p_somatic_model = float(model_post[2])
@@ -235,7 +266,7 @@ class CancerCaller(CallerBase):
                            and str(cfg.normal_contamination_risk).lower() != "high"
                            and qualifies[cfg.normal_sample])
             if (phred_model < cfg.min_somatic_posterior_phred
-                    or normal_veto or not any(somatic_samples)):
+                    or normal_veto or noise_veto or not any(somatic_samples)):
                 # keep the cancer-genotype germline call, but emit no
                 # somatic records (cancer_caller.cpp:1246-1267)
                 somatic_samples = [False] * len(qualifies)

@@ -256,3 +256,26 @@ def test_independent_genotype_priors_smoke():
     calls = PopulationCaller(ref, "chr1", cfg).call(0, 600, batches)
     assert [c.begin for c in calls] == [250]
     assert all(sorted(gt) == [0, 1] for gt in calls[0].genotypes)
+
+
+def test_noise_model_vetoes_low_level_normal_contamination():
+    """The noise model (evaluate_noise_model, cancer_caller.cpp:572-588,
+    1254-1266) fits the somatic mixture on the normal alone: a low-level
+    somatic signal in the normal that escapes the credible-region veto is
+    still caught; --normal-contamination-risk HIGH disables it."""
+    ref, seq, tumour, normal = _cancer_scene(62, tumour_fraction=0.35,
+                                             normal_fraction=0.12)
+    calls = CancerCaller(ref, "chr1", _cancer_cfg()).call(
+        0, 600, [tumour, normal])
+    assert not [c for c in calls if c.info.get("SOMATIC")]
+    risky = _cancer_cfg(normal_contamination_risk="high")
+    calls = CancerCaller(ref, "chr1", risky).call(0, 600, [tumour, normal])
+    assert [c for c in calls if c.info.get("SOMATIC")]
+
+
+def test_noise_model_keeps_clean_normal_somatics():
+    ref, seq, tumour, normal = _cancer_scene(63, tumour_fraction=0.3,
+                                             normal_fraction=0.0)
+    calls = CancerCaller(ref, "chr1", _cancer_cfg()).call(
+        0, 600, [tumour, normal])
+    assert [c for c in calls if c.info.get("SOMATIC")]
