@@ -108,6 +108,9 @@ class SiteCall:
     phase_set: int
     alt_qualities: list[float]
     info: dict = field(default_factory=dict)
+    # phred quality of the phase set this site belongs to (phaser.cpp
+    # phase-set quality; emitted as FORMAT/PQ, vcf_record_factory.cpp:681)
+    phase_quality: float | None = None
 
     # single-sample conveniences
     @property

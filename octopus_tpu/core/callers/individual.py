@@ -64,10 +64,12 @@ class IndividualCaller(CallerBase):
         site_alleles = self.make_site_alleles(ctx, site_groups)
         phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents.posteriors)
         site_phase_set = {}
+        site_phase_quality = {}
         for ps in phase_sets:
             ps_begin = min(site_groups[si][0].begin for si in ps.site_indices)
             for si in ps.site_indices:
                 site_phase_set[si] = ps_begin
+                site_phase_quality[si] = ps.quality
         out = []
         for si, group in enumerate(site_groups):
             hap_allele = site_alleles[si]
@@ -83,6 +85,7 @@ class IndividualCaller(CallerBase):
                 genotypes=[gt],
                 genotype_qualities=[gq],
                 phase_set=site_phase_set.get(si, group[0].begin),
+                phase_quality=site_phase_quality.get(si),
                 alt_qualities=[quality_of[v] for v in group],
             ))
         return out

@@ -78,10 +78,12 @@ class PopulationCaller(CallerBase):
         # phase per sample 0 for PS grouping (shared sites)
         phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents[0].posteriors)
         site_ps = {}
+        site_pq = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)
             for si in ps.site_indices:
                 site_ps[si] = b
+                site_pq[si] = ps.quality
         out = []
         for si, group in enumerate(site_groups):
             hap_allele = site_alleles[si]
@@ -100,6 +102,7 @@ class PopulationCaller(CallerBase):
                 genotypes=gts,
                 genotype_qualities=gqs,
                 phase_set=site_ps.get(si, group[0].begin),
+                phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
             ))
         return out
@@ -161,10 +164,12 @@ class PopulationCaller(CallerBase):
         site_alleles = self.make_site_alleles(ctx, site_groups)
         phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, latents[0].posteriors)
         site_ps = {}
+        site_pq = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)
             for si in ps.site_indices:
                 site_ps[si] = b
+                site_pq[si] = ps.quality
         out = []
         for si, group in enumerate(site_groups):
             hap_allele = site_alleles[si]
@@ -184,6 +189,7 @@ class PopulationCaller(CallerBase):
                 genotypes=gts,
                 genotype_qualities=gqs,
                 phase_set=site_ps.get(si, group[0].begin),
+                phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
             ))
         return out

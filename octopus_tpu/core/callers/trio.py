@@ -83,10 +83,12 @@ class TrioCaller(CallerBase):
         np.add.at(child_post, combos[:, 2], latents.posteriors)
         phase_sets = Phaser(PhaserConfig(min_phase_quality=self.config.min_phase_score)).phase(site_alleles, genotypes, child_post)
         site_ps = {}
+        site_pq = {}
         for ps in phase_sets:
             b = min(site_groups[si][0].begin for si in ps.site_indices)
             for si in ps.site_indices:
                 site_ps[si] = b
+                site_pq[si] = ps.quality
         out = []
         for si, group in enumerate(site_groups):
             hap_allele = site_alleles[si]
@@ -109,6 +111,7 @@ class TrioCaller(CallerBase):
                 genotypes=gts,
                 genotype_qualities=gqs,
                 phase_set=site_ps.get(si, group[0].begin),
+                phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
                 info=info,
             ))

@@ -23,6 +23,7 @@ def make_vcf_header(reference, contigs: list[str], samples: list[str]) -> VcfHea
     for c in contigs:
         h.contigs.append((c, reference.contig_size(c)))
     h.add_info("DP", "1", "Integer", "Combined read depth")
+    h.add_info("NS", "1", "Integer", "Number of samples with data")
     h.add_info("MP", "1", "Float", "Model posterior")
     h.add_info("MQ", "1", "Float", "RMS mapping quality")
     h.add_info("SOMATIC", "0", "Flag", "Somatic mutation call")
@@ -32,7 +33,9 @@ def make_vcf_header(reference, contigs: list[str], samples: list[str]) -> VcfHea
     h.add_format("GT", "1", "String", "Genotype")
     h.add_format("GQ", "1", "Integer", "Conditional genotype quality (phred)")
     h.add_format("DP", "1", "Integer", "Read depth")
+    h.add_format("MQ", "1", "Integer", "RMS mapping quality")
     h.add_format("PS", "1", "String", "Phase set")
+    h.add_format("PQ", "1", "Integer", "Phase quality (phred)")
     h.samples = list(samples)
     return h
 
@@ -61,12 +64,19 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
             alt_strs = [anchor + a for a in alt_strs]
     qual = None if math.isinf(call.quality) else round(min(call.quality, 1e6), 2)
     sample_values = []
+    # PQ: phase-set quality capped at 100 (vcf_record_factory.cpp:680-681)
+    pq = (None if call.phase_quality is None
+          else int(round(min(call.phase_quality, 100.0))))
     for s, gt_list in enumerate(call.genotypes):
-        sample_values.append({
+        sv = {
             "GT": "|".join(str(a) for a in gt_list),
             "GQ": int(round(min(call.genotype_qualities[s], 99.0))),
             "PS": str(call.phase_set + 1),
-        })
+        }
+        if pq is not None:
+            sv["PQ"] = pq
+        sample_values.append(sv)
+    format_keys = ["GT", "GQ", "PS"] + (["PQ"] if pq is not None else [])
     return VcfRecord(
         chrom=contig,
         pos=pos,
@@ -76,9 +86,71 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
         qual=qual if qual is not None else 1e6,
         filters=["PASS"],
         info={},
-        format_keys=["GT", "GQ", "PS"],
+        format_keys=format_keys,
         sample_values=sample_values,
     )
+
+
+def annotate_read_stats(pairs: list, batches_by_sample: list) -> None:
+    """INFO NS/DP/MQ and FORMAT DP/MQ from the calling reads
+    (vcf_record_factory.cpp:654-677: NS = samples with coverage, DP =
+    sum of per-sample max coverages over the record region, MQ = RMS
+    mapping quality of overlapping reads)."""
+    import numpy as np
+
+    if not pairs:
+        return
+    lo = min(r.pos - 1 for _, r in pairs)
+    hi = max(r.pos - 1 + len(r.ref) for _, r in pairs) + 1
+    spans = []   # per sample: (depth_array, begins, ends, mapq) or None
+    for b in batches_by_sample:
+        if b is None or not len(b):
+            spans.append(None)
+            continue
+        sel = (b.ends > lo) & (b.begins < hi)
+        depth = np.zeros(hi - lo + 1, np.int64)
+        np.add.at(depth, np.clip(b.begins[sel] - lo, 0, hi - lo), 1)
+        np.add.at(depth, np.clip(b.ends[sel] - lo, 0, hi - lo), -1)
+        depth = np.cumsum(depth)
+        spans.append((depth, b.begins, b.ends, b.mapq))
+    for call, rec in pairs:
+        rb = rec.pos - 1
+        re_ = rb + len(rec.ref)
+        n_samples_with_cov = 0
+        dp_total = 0
+        sq_sum = 0.0
+        n_mq = 0
+        for s, sp in enumerate(spans):
+            if sp is None:
+                dp_s, mq_s = 0, None
+            else:
+                depth, begins, ends, mapq = sp
+                seg = depth[max(rb - lo, 0):max(re_ - lo, 1)]
+                dp_s = int(seg.max()) if len(seg) else 0
+                over = (begins < re_) & (ends > rb)
+                if over.any():
+                    m = mapq[over].astype(np.float64)
+                    mq_s = int(round(math.sqrt(float(np.mean(m * m)))))
+                    sq_sum += float(np.sum(m * m))
+                    n_mq += int(over.sum())
+                else:
+                    mq_s = None
+            if dp_s > 0:
+                n_samples_with_cov += 1
+            dp_total += dp_s
+            if s < len(rec.sample_values):
+                sv = rec.sample_values[s]
+                sv.setdefault("DP", dp_s)
+                if mq_s is not None:
+                    sv.setdefault("MQ", mq_s)
+        rec.info.setdefault("NS", n_samples_with_cov)
+        rec.info.setdefault("DP", dp_total)
+        if n_mq:
+            rec.info.setdefault("MQ", int(round(math.sqrt(sq_sum / n_mq))))
+        for key in ("DP", "MQ"):
+            if key not in rec.format_keys and any(
+                    key in sv for sv in rec.sample_values):
+                rec.format_keys.append(key)
 
 
 def apply_spanning_alleles(pairs: list) -> None:

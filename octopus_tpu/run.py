@@ -734,7 +734,10 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             caller.config.ploidy = pm.of(window.contig)
         caller_cache[window.contig] = caller
     if caller_kind == "trio":
+        # reorder the raw (filtering) batches identically: facet/measure
+        # sample indices must align with the trio-ordered genotypes
         batches_by_sample = _order_trio(batches_by_sample, samples, cli_args)
+        raw_by_sample = _order_trio(raw_by_sample, samples, cli_args)
     with timers.phase("calling"):
         calls = caller.call(window.begin, window.end, batches_by_sample)
     merged = ReadBatch.concatenate([b for b in batches_by_sample if len(b)])
@@ -796,8 +799,6 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                     record.format_keys.append("RFGQ")
                 for sv in record.sample_values:
                     sv["RFGQ"] = round(rfgq, 2)
-            record.info["DP"] = measures["DP"]
-            record.info["MQ"] = round(measures["MQ"], 1)
             for name in annotations:
                 if name in measures and name not in record.info:
                     v = measures[name]
@@ -805,13 +806,13 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
                         record.info[name] = "."   # missing measure (VCF spec)
                     else:
                         record.info[name] = round(v, 4) if isinstance(v, float) else v
-            if "DP" not in record.format_keys:
-                record.format_keys.append("DP")
-            for s, sv in enumerate(record.sample_values):
-                sv["DP"] = measures["DP"]
         for k, v in call.info.items():
             record.info.setdefault(k, v)
         records.append(record)
+    # NS/DP/MQ read stats from the calling reads
+    # (vcf_record_factory.cpp:654-677)
+    from .core.tools.vcf_record_factory import annotate_read_stats
+    annotate_read_stats(pairs, batches_by_sample)
     apply_spanning_alleles(pairs)
     if refcall_mode:
         records.extend(_refcall_records(window, reference, merged, calls,

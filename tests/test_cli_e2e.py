@@ -266,3 +266,36 @@ def test_forest_model_in_run(tmp_path, small_genome):
     # clean sim with strong truth variants: the shipped forest should PASS them
     assert any(r.filters == ["PASS"] for r in records)
     assert any(f.get("ID") == "RF" for f in reader.header.filters)
+
+
+def test_trio_csr_sample_alignment(tmp_path):
+    """Regression: trio reordering (-M/-F) must also reorder the CSR
+    filtering read set — a mismatch computes measures against the wrong
+    sample's reads and threshold-filters true calls (round-2 bug caught by
+    bench_e2e_multi: germline recall 1.00 -> 0.21)."""
+    import numpy as np
+    from bench_e2e import write_reference, write_sample_bam
+    from octopus_tpu.io.vcf import VcfReader
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+    fa = write_reference(str(tmp_path), seq)
+    mom = [list(seq), list(seq)]
+    dad = [list(seq), list(seq)]
+    # het germline SNV carried by mom
+    alt = "ACGT"[("ACGT".index(seq[3000]) + 1) % 4]
+    mom[0][3000] = alt
+    kid = [list(mom[0]), list(dad[1])]
+    # sample names sort to DAD,KID,MOM != trio order MOM,DAD,KID
+    bams = [write_sample_bam(str(tmp_path), s_, h, n, 30, 150, rng)
+            for s_, h in (("MOM", mom), ("DAD", dad), ("KID", kid))]
+    out = tmp_path / "trio.vcf"
+    args = build_parser().parse_args(
+        ["-R", str(fa), "-I"] + [str(b) for b in bams]
+        + ["-o", str(out), "-T", "chr1", "-M", "MOM", "-F", "DAD"])
+    assert run_calling(args) == 0
+    recs = [r for r in VcfReader(str(out)).records()
+            if r.alts and r.filters == ["PASS"]]
+    assert any(abs(r.pos - 1 - 3000) <= 1 for r in recs), \
+        [(r.pos, r.filters) for r in VcfReader(str(out)).records()]
