@@ -20,6 +20,7 @@ TPU design: one jitted CAVI over fixed-shape padded tensors
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -139,10 +140,20 @@ class VariationalBayesMixtureMixtureModel:
         for _ in range(self.n_seeds - 1):
             taus.append(rng.dirichlet(np.ones(C), size=N).astype(np.float32))
         beta0 = np.full(C, self.beta0 / C, np.float32)
-        run = jax.vmap(lambda t: _mmvb_single(
-            jnp.asarray(lnl), jnp.asarray(member_mask), jnp.asarray(read_mask),
-            jnp.float32(self.alpha0), jnp.asarray(beta0), t, n_iter=self.n_iter))
-        elbos, tau_all, alpha_all, _ = run(jnp.asarray(np.stack(taus)))
+        # small problems run on the in-process CPU backend — the two-level
+        # VB is a few MFLOPs, far below one device dispatch round trip
+        # (same gate as subclone_vb.py / the pair-HMM host path)
+        import contextlib
+        small = (self.n_seeds * N * C * M * R
+                 < int(os.environ.get("OCTOPUS_TPU_VB_DEVICE_MIN", 8_000_000)))
+        device_ctx = (jax.default_device(jax.devices("cpu")[0])
+                      if small and jax.default_backend() != "cpu"
+                      else contextlib.nullcontext())
+        with device_ctx:
+            run = jax.vmap(lambda t: _mmvb_single(
+                jnp.asarray(lnl), jnp.asarray(member_mask), jnp.asarray(read_mask),
+                jnp.float32(self.alpha0), jnp.asarray(beta0), t, n_iter=self.n_iter))
+            elbos, tau_all, alpha_all, _ = run(jnp.asarray(np.stack(taus)))
         elbos = np.asarray(elbos, np.float64)
         best = int(np.argmax(elbos))
         tau = np.asarray(tau_all)[best]

@@ -109,6 +109,24 @@ class SubcloneModel:
                                           64_000_000))
         k_pad = ((K + 7) // 8) * 8
         np_pad = ((Np + 127) // 128) * 128
+        # small problems run on the in-process CPU backend: the VB loop is
+        # a few MFLOPs, far below one device dispatch round trip (the same
+        # size gate as the pair-HMM host path; ~0.1 ms on production hosts,
+        # ~30-80 ms through this dev box's tunnel)
+        small = (G * self.n_seeds * k_pad * np_pad
+                 < int(os.environ.get("OCTOPUS_TPU_VB_DEVICE_MIN", 8_000_000)))
+        import contextlib
+        device_ctx = (jax.default_device(jax.devices("cpu")[0])
+                      if small and jax.default_backend() != "cpu"
+                      else contextlib.nullcontext())
+        with device_ctx:
+            return self._evaluate_inner(tuples, lnL, alpha0_vec, log_priors,
+                                        G, K, N, Np, Gp_budget=(budget_elems,
+                                                                k_pad, np_pad))
+
+    def _evaluate_inner(self, tuples, lnL, alpha0_vec, log_priors,
+                        G, K, N, Np, Gp_budget):
+        budget_elems, k_pad, np_pad = Gp_budget
         gchunk = max(1, budget_elems // max(self.n_seeds * np_pad * (k_pad + 2), 1))
         Gp = 1
         while Gp * 2 <= min(G, gchunk):
