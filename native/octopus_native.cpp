@@ -576,6 +576,334 @@ struct RepeatRec {
     int32_t pos, length, period;
 };
 
+// ---------------------------------------------------------------------------
+// Reference-exact tandem repeat finding.
+//
+// The reference's error models call tandem::extract_exact_tandem_repeats
+// (lib/tandem/tandem.hpp): a naive per-period scan for max_period <= 3 (the
+// SNV model's 1..3 call) and the Kolpakov-Kucherov maximal-repetition
+// algorithm over a Lempel-Ziv factorisation for larger periods (the indel
+// model's 1..5 call).  The two algorithms anchor and report runs
+// differently, so both are implemented here and fuzz-verified bit-exact
+// against the reference library driven in place (tests/golden/
+// golden_tandem.cpp).  This is an independent implementation of the
+// published algorithms (Main 1989; Kolpakov & Kucherov 1999; Crochemore
+// et al. 2008) matching the reference's output conventions.
+// ---------------------------------------------------------------------------
+
+namespace tandem_exact {
+
+using std::uint32_t;
+using std::size_t;
+
+static const uint32_t kNone = 0xFFFFFFFFu;
+
+// maximal single-base runs of length >= 2 (tandem.hpp extract_homopolymers)
+static void homopolymer_runs(const uint8_t* s, int64_t n,
+                             std::vector<RepeatRec>& out) {
+    int64_t i = 0;
+    while (i + 1 < n) {
+        if (s[i] != s[i + 1]) { ++i; continue; }
+        int64_t j = i + 1;
+        while (j < n && s[j] == s[i]) ++j;
+        out.push_back({(int32_t)i, (int32_t)(j - i), 1});
+        i = j;
+    }
+}
+
+// naive period-N runs: anchor at a position where adjacent characters
+// differ, extend s[anchor+N..] against s[anchor..]; a match of >= N emits
+// the run and restarts at the mismatch point (tandem.hpp:411-436 behaviour)
+static void naive_period_runs(const uint8_t* s, int64_t n, int N,
+                              std::vector<RepeatRec>& out) {
+    if (n < 2 * N) return;
+    int64_t a = 0;                       // adjacent_find(!=)
+    while (a + 1 < n && s[a] == s[a + 1]) ++a;
+    if (a + 1 >= n) return;
+    int64_t b = a + N;
+    while (b < n) {
+        int64_t m = 0;
+        while (b + m < n && s[b + m] == s[a + m]) ++m;
+        if (a + m >= b) {
+            out.push_back({(int32_t)a, (int32_t)(b + m - a), (int32_t)N});
+            a += m;
+        } else {
+            ++a;
+        }
+        while (a + 1 < n && s[a] == s[a + 1]) ++a;
+        if (a + 1 >= n) break;
+        b = a + N;
+    }
+}
+
+// stable merge by pos, earlier-period source first (detail::merge)
+static void merge_by_pos(std::vector<RepeatRec>& dst,
+                         std::vector<RepeatRec>& src) {
+    std::vector<RepeatRec> merged;
+    merged.reserve(dst.size() + src.size());
+    size_t i = 0, j = 0;
+    while (i < dst.size() && j < src.size()) {
+        if (src[j].pos < dst[i].pos)
+            merged.push_back(src[j++]);
+        else
+            merged.push_back(dst[i++]);
+    }
+    for (; i < dst.size(); ++i) merged.push_back(dst[i]);
+    for (; j < src.size(); ++j) merged.push_back(src[j]);
+    dst.swap(merged);
+}
+
+static void extract_naive(const uint8_t* s, int64_t n, int min_p, int max_p,
+                          std::vector<RepeatRec>& out) {
+    if (min_p == 1) homopolymer_runs(s, n, out);
+    for (int p = std::max(2, min_p); p <= max_p; ++p) {
+        std::vector<RepeatRec> runs;
+        naive_period_runs(s, n, p, runs);
+        merge_by_pos(out, runs);
+    }
+}
+
+// suffix array by radix-sort prefix doubling, O(n log n)
+// (output identical to any correct SA)
+static std::vector<uint32_t> suffix_array(const std::vector<uint8_t>& s) {
+    const int64_t n = (int64_t)s.size();
+    std::vector<uint32_t> sa(n), sa2(n);
+    std::vector<int64_t> rank(n), tmp(n);
+    {   // initial counting sort by character
+        int64_t cnt[257] = {0};
+        for (int64_t i = 0; i < n; ++i) ++cnt[s[i] + 1];
+        for (int i = 0; i < 256; ++i) cnt[i + 1] += cnt[i];
+        for (int64_t i = 0; i < n; ++i) sa[cnt[s[i]]++] = (uint32_t)i;
+        rank[sa[0]] = 0;
+        for (int64_t i = 1; i < n; ++i)
+            rank[sa[i]] = rank[sa[i - 1]] + (s[sa[i]] != s[sa[i - 1]] ? 1 : 0);
+    }
+    std::vector<int64_t> cnt(n + 1);
+    for (int64_t k = 1; rank[sa[n - 1]] != n - 1; k *= 2) {
+        // second key: suffixes i >= n-k have empty second half (smallest);
+        // then positions sa[j]-k in first-key order
+        int64_t p = 0;
+        for (int64_t i = n - k; i < n; ++i) sa2[p++] = (uint32_t)i;
+        for (int64_t j = 0; j < n; ++j)
+            if ((int64_t)sa[j] >= k) sa2[p++] = sa[j] - (uint32_t)k;
+        // stable counting sort by first key
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; ++i) ++cnt[rank[i] + 1];
+        for (int64_t i = 0; i < n; ++i) cnt[i + 1] += cnt[i];
+        for (int64_t j = 0; j < n; ++j) sa[cnt[rank[sa2[j]]]++] = sa2[j];
+        // re-rank
+        tmp[sa[0]] = 0;
+        for (int64_t i = 1; i < n; ++i) {
+            const uint32_t x = sa[i - 1], y = sa[i];
+            const int64_t rx2 = x + k < n ? rank[x + k] : -1;
+            const int64_t ry2 = y + k < n ? rank[y + k] : -1;
+            tmp[y] = tmp[x] + ((rank[x] != rank[y] || rx2 != ry2) ? 1 : 0);
+        }
+        std::copy(tmp.begin(), tmp.end(), rank.begin());
+    }
+    return sa;
+}
+
+// Kasai LCP; lcp[r] = LCP(sa[r-1], sa[r])
+static std::vector<uint32_t> lcp_array(const std::vector<uint8_t>& s,
+                                       const std::vector<uint32_t>& sa) {
+    const int64_t n = (int64_t)sa.size();
+    std::vector<uint32_t> rank(n), lcp(n, 0);
+    for (int64_t r = 0; r < n; ++r) rank[sa[r]] = (uint32_t)r;
+    int64_t h = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (rank[i] > 0) {
+            const int64_t j = sa[rank[i] - 1];
+            while (i + h < n && j + h < n && s[i + h] == s[j + h]) ++h;
+            lcp[rank[i]] = (uint32_t)h;
+            if (h > 0) --h;
+        }
+    }
+    return lcp;
+}
+
+// LPF + previous-occurrence arrays (Crochemore et al. 2008 stack pass,
+// with the reference's one-slot zero padding of sa/lcp: tandem.hpp
+// make_lpf_and_prev_occ_arrays via make_suffix_array(str, 1))
+static void lpf_prev_occ(std::vector<uint32_t> sa, std::vector<uint32_t> lcp,
+                         std::vector<uint32_t>& lpf,
+                         std::vector<uint32_t>& prev) {
+    const size_t n = sa.size();       // includes the padding slot
+    lpf.assign(n, 0);
+    prev.assign(n, 0);
+    sa.push_back(kNone);
+    lcp.push_back(0);
+    std::vector<std::pair<uint32_t, uint32_t>> st;  // (lcp, sa) stack
+    st.emplace_back(0, sa[0]);
+    for (uint32_t i = 1; i <= n; ++i) {
+        uint32_t u = lcp[i];
+        while (!st.empty() && (sa[i] == kNone || sa[i] < st.back().second)) {
+            const auto top = st.back();
+            const uint32_t lo = std::min(top.first, u);
+            const uint32_t hi = std::max(top.first, u);
+            u = lo;
+            lpf[top.second] = hi;
+            st.pop_back();
+            if (lpf[top.second] == 0) {
+                prev[top.second] = kNone;
+            } else if (top.first > u) {
+                prev[top.second] = st.back().second;
+            } else {
+                prev[top.second] = sa[i];
+            }
+        }
+        if (i < n) st.emplace_back(u, sa[i]);
+    }
+}
+
+struct LZBlock {
+    uint32_t pos, length;
+};
+
+// forward LCE: matched length of s[i..] vs s[j..] with the first range
+// bounded by `limit`
+static uint32_t lce_fwd(const std::vector<uint8_t>& s, uint32_t i, uint32_t j,
+                        uint32_t limit) {
+    uint32_t k = 0;
+    while (i + k < limit && s[i + k] == s[j + k]) ++k;
+    return k;
+}
+
+// backward LCE: matched length of s[i],s[i-1],... vs s[j],s[j-1],...,
+// scanning the first range down to s[floor] inclusive (j >= i >= floor)
+static uint32_t lce_bwd(const std::vector<uint8_t>& s, uint32_t i, uint32_t j,
+                        uint32_t floor) {
+    uint32_t k = 0;
+    while (k <= i - floor && s[i - k] == s[j - k]) ++k;
+    return k;
+}
+
+// Main (1989): maximal periodicities touching the boundary of `block`
+static void add_block_periodicities(const std::vector<uint8_t>& s,
+                                    const LZBlock& prev_block,
+                                    const LZBlock& block,
+                                    uint32_t min_p, uint32_t max_p,
+                                    std::vector<RepeatRec>& out) {
+    const uint32_t u = block.pos;
+    const uint32_t n = block.length;
+    const uint32_t m = std::min(u, 2 * prev_block.length + n);
+    const uint32_t t = u - m;
+    const uint32_t end = u + n;
+    for (uint32_t j = min_p; j <= std::min(n, max_p); ++j) {   // rightmax
+        const uint32_t ls = lce_bwd(s, u - 1, u + j - 1, t);
+        const uint32_t lp = lce_fwd(s, u + j, u, end);
+        if (ls + lp >= j && j + lp < n)
+            out.push_back({(int32_t)(u - ls), (int32_t)(j + lp + ls),
+                           (int32_t)j});
+    }
+    for (uint32_t j = min_p; j < std::min(m, max_p); ++j) {    // leftmax
+        const uint32_t ls = lce_bwd(s, u - j - 1, u - 1, t);
+        const uint32_t lp = lce_fwd(s, u, u - j, end);
+        if (ls + lp >= j)
+            out.push_back({(int32_t)(u - (ls + j)), (int32_t)(j + lp + ls),
+                           (int32_t)j});
+    }
+}
+
+// Kolpakov & Kucherov (1999) over the LZ factorisation, matching the
+// reference's bucket conventions (dedup by (pos, length) only; shifted
+// copies inserted at the front of each start bucket)
+static void extract_lz(const std::vector<uint8_t>& s, uint32_t min_p,
+                       uint32_t max_p, std::vector<RepeatRec>& out) {
+    const size_t n = s.size();
+    // LZ factorisation with previous block occurrences
+    std::vector<uint32_t> sa = suffix_array(s);
+    std::vector<uint32_t> lcp = lcp_array(s, sa);
+    sa.push_back(0);                  // the reference's one-slot padding
+    lcp.push_back(0);
+    std::vector<uint32_t> lpf, prev;
+    lpf_prev_occ(sa, lcp, lpf, prev);
+    std::vector<LZBlock> blocks;
+    std::vector<uint32_t> block_prev;
+    blocks.push_back({0, 1});
+    block_prev.push_back(kNone);
+    for (uint32_t end = 1; end < n;) {
+        const uint32_t m = std::max(uint32_t{1}, lpf[end]);
+        blocks.push_back({end, m});
+        block_prev.push_back(prev[end]);
+        end += m;
+    }
+    // leftmost maximal repetitions (Main 1989), bucketed by END position
+    // with (pos, length) dedup, then re-bucketed by START
+    std::vector<RepeatRec> lmrs;
+    for (size_t h = 1; h < blocks.size(); ++h)
+        add_block_periodicities(s, blocks[h - 1], blocks[h], min_p, max_p,
+                                lmrs);
+    std::vector<std::vector<RepeatRec>> end_buckets(n);
+    for (const auto& r : lmrs) {
+        auto& bucket = end_buckets[r.pos + r.length - 1];
+        bool dup = false;
+        for (const auto& e : bucket)
+            if (e.pos == r.pos && e.length == r.length) { dup = true; break; }
+        if (!dup) bucket.push_back(r);
+    }
+    std::vector<std::vector<RepeatRec>> start_buckets(n);
+    for (auto& bucket : end_buckets)
+        for (const auto& r : bucket)
+            start_buckets[r.pos].push_back(r);
+    // propagate repeats into later LZ-block occurrences
+    for (size_t k = 0; k < blocks.size(); ++k) {
+        const auto& block = blocks[k];
+        const uint32_t block_end = block.pos + block.length;
+        const uint32_t delta =
+            block.pos - (block_prev[k] != kNone ? block_prev[k] : 0);
+        const uint32_t max_target_end = block_end - delta;
+        for (uint32_t j = block.pos; j < block_end; ++j) {
+            const uint32_t target_start = j - delta;
+            auto& target = start_buckets[target_start];
+            uint32_t target_end = max_target_end;
+            if (!start_buckets[j].empty())
+                target_end = std::min(
+                    target_start + (uint32_t)start_buckets[j].front().length,
+                    max_target_end);
+            // first run whose end reaches target_end (buckets are kept
+            // sorted by end via construction order)
+            size_t cnt = 0;
+            while (cnt < target.size()
+                   && (uint32_t)(target[cnt].pos + target[cnt].length)
+                          < target_end)
+                ++cnt;
+            if (cnt > 0) {
+                std::vector<RepeatRec> shifted(target.begin(),
+                                               target.begin() + cnt);
+                for (auto& r : shifted) r.pos += (int32_t)delta;
+                start_buckets[j].insert(start_buckets[j].begin(),
+                                        shifted.begin(), shifted.end());
+            }
+        }
+    }
+    for (auto& bucket : start_buckets)
+        for (const auto& r : bucket) out.push_back(r);
+}
+
+// base-code -> ASCII mapping: the reference runs on 'ACGTN' characters and
+// the suffix-array ORDER matters ('N' sorts between 'G' and 'T')
+static std::vector<uint8_t> to_ascii(const uint8_t* codes, int64_t n) {
+    static const uint8_t kMap[5] = {'A', 'C', 'G', 'T', 'N'};
+    std::vector<uint8_t> s(n);
+    for (int64_t i = 0; i < n; ++i) s[i] = kMap[codes[i] < 5 ? codes[i] : 4];
+    return s;
+}
+
+static void extract(const uint8_t* codes, int64_t n, int min_p, int max_p,
+                    std::vector<RepeatRec>& out) {
+    if (min_p == 0) min_p = 1;
+    if (n == 0 || n < min_p) return;
+    if (max_p <= 3) {
+        extract_naive(codes, n, min_p, max_p, out);
+    } else {
+        const auto s = to_ascii(codes, n);
+        extract_lz(s, (uint32_t)min_p, (uint32_t)max_p, out);
+    }
+}
+
+}  // namespace tandem_exact
+
 static void find_tandem_repeats(const uint8_t* s, Py_ssize_t n,
                                 int min_p, int max_p,
                                 std::vector<RepeatRec>& out) {
@@ -636,7 +964,11 @@ static PyObject* tandem_repeats(PyObject*, PyObject* args) {
     if (!PyArg_ParseTuple(args, "y*ii", &buf, &min_p, &max_p)) return nullptr;
     std::vector<RepeatRec> reps;
     Py_BEGIN_ALLOW_THREADS
-    find_tandem_repeats((const uint8_t*)buf.buf, buf.len, min_p, max_p, reps);
+    tandem_exact::extract((const uint8_t*)buf.buf, buf.len, min_p, max_p, reps);
+    std::sort(reps.begin(), reps.end(),
+              [](const RepeatRec& a, const RepeatRec& b) {
+                  return a.pos != b.pos ? a.pos < b.pos : a.period < b.period;
+              });
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&buf);
     PyObject* result = PyBytes_FromStringAndSize(
@@ -709,7 +1041,7 @@ static PyObject* snv_priors(PyObject*, PyObject* args) {
     Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t i = 0; i < n; ++i) { fwd[i] = (int16_t)max_q; rev[i] = (int16_t)max_q; }
     std::vector<RepeatRec> reps;
-    find_tandem_repeats(codes, n, 1, 3, reps);
+    tandem_exact::extract(codes, n, 1, 3, reps);
     std::vector<int16_t> mask(n), rmask(n);
     std::vector<int32_t> runs(n);
     for (int period = 1; period <= 3; ++period) {
@@ -789,7 +1121,11 @@ static PyObject* indel_penalties(PyObject*, PyObject* args) {
         gap_ext[i] = (int16_t)def_ext;
     }
     std::vector<RepeatRec> reps;
-    find_tandem_repeats(codes, n, 1, 5, reps);
+    tandem_exact::extract(codes, n, 1, 5, reps);
+    std::sort(reps.begin(), reps.end(),
+              [](const RepeatRec& a, const RepeatRec& b) {
+                  return a.pos != b.pos ? a.pos < b.pos : a.period < b.period;
+              });
     std::stable_sort(reps.begin(), reps.end(),
                      [](const RepeatRec& a, const RepeatRec& b) {
                          return a.length < b.length;

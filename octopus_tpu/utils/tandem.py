@@ -1,23 +1,20 @@
 """Exact tandem repeat finding on base-code arrays.
 
-Capability-equivalent to the reference's vendored tandem library
-(lib/tandem/tandem.hpp: extract_exact_tandem_repeats) which returns maximal
-exact repeats (runs) with their position, total length, and period.  The
-reference uses a suffix-array/LZ algorithm for periods > 3 and a direct scan
-for periods <= 3; here a single vectorised numpy scan per period handles all
-periods (max period is small — 3 for the SNV error model, 5 for the indel
-error model — so the O(n * max_period) scan is fast and branch-free).
+Bit-exact to the reference's vendored tandem library (lib/tandem/
+tandem.hpp extract_exact_tandem_repeats), which the error models call with
+(1, 3) [SNV model] and (1, 5) [indel model].  The reference dispatches on
+max_period: a naive per-period scan for max_period <= 3 and the
+Kolpakov-Kucherov maximal-repetition algorithm over a Lempel-Ziv
+factorisation otherwise — the two report runs with different anchoring, so
+both are implemented in the native extension (native/octopus_native.cpp
+tandem_exact) and fuzz-verified against the reference library driven in
+place (tests/golden/golden_tandem.cpp, tests/test_tandem_golden.py).
 
-Semantics matched to the reference implementation:
-
-* period 1 (homopolymers): maximal runs of one base, length >= 2.
-* period p >= 2: maximal spans where s[i] == s[i+p], total length >= 2p,
-  reported with their *primitive* period only (a homopolymer is not also
-  reported as a dinucleotide repeat), mirroring the runs the reference's
-  maximal-repetition algorithms produce.  Additionally, following the
-  reference's scanner (lib/tandem/tandem.hpp:411-436), period-p repeats do
-  not begin inside a run of equal characters: the start is advanced to the
-  last position of any leading homopolymer run.
+This module routes to the native implementation when built.  The pure-
+python fallback ports the naive algorithm exactly (max_period <= 3) and
+keeps a close approximation for larger periods (primitive-motif maximal
+eq-runs) — a documented deviation that only matters when the native
+extension is unavailable.
 """
 
 from __future__ import annotations
@@ -50,6 +47,39 @@ def find_homopolymers(codes: np.ndarray) -> list[Repeat]:
     lens = ends - starts
     keep = lens >= 2
     return [Repeat(int(s), int(l), 1) for s, l in zip(starts[keep], lens[keep])]
+
+
+def _naive_period_runs(codes: np.ndarray, p: int) -> list[Repeat]:
+    """Exact port of the reference's naive period-p scan
+    (tandem.hpp:411-436): anchor where adjacent characters differ, extend
+    s[a+p..] against s[a..]; a match of >= p emits the run and restarts at
+    the mismatch point."""
+    n = len(codes)
+    out: list[Repeat] = []
+    if n < 2 * p:
+        return out
+    c = codes.tolist()
+    a = 0
+    while a + 1 < n and c[a] == c[a + 1]:
+        a += 1
+    if a + 1 >= n:
+        return out
+    b = a + p
+    while b < n:
+        m = 0
+        while b + m < n and c[b + m] == c[a + m]:
+            m += 1
+        if a + m >= b:
+            out.append(Repeat(a, b + m - a, p))
+            a += m
+        else:
+            a += 1
+        while a + 1 < n and c[a] == c[a + 1]:
+            a += 1
+        if a + 1 >= n:
+            break
+        b = a + p
+    return out
 
 
 def _find_period_runs(codes: np.ndarray, p: int) -> list[Repeat]:
@@ -114,8 +144,10 @@ def extract_exact_tandem_repeats(
     for p in range(max(1, min_period), max_period + 1):
         if p == 1:
             out.extend(find_homopolymers(codes))
+        elif max_period <= 3:
+            out.extend(_naive_period_runs(codes, p))   # reference-exact
         else:
-            out.extend(_find_period_runs(codes, p))
+            out.extend(_find_period_runs(codes, p))    # approximation
     out.sort(key=lambda r: (r.pos, r.period))
     return out
 
