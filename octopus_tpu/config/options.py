@@ -315,8 +315,15 @@ def build_parser() -> argparse.ArgumentParser:
 #   haplotype weights across cells (mixture_mixture_vb.py); a per-cell
 #   Dirichlet concentration has no seat in that factorisation (documented
 #   deviation; --dropout-concentration applies to all cells).
+# * --use-same-read-profile-for-all-samples: this engine derives component
+#   parameters directly from each window's reads rather than from an
+#   up-front ReadSetProfile, so the per-sample/shared distinction has no
+#   effect by design.
+# * --use-germline-forest-for-somatic-normals: forest classification here
+#   scores one aggregated measure row per call (min-tail over carrier
+#   samples), not per-sample rows, so there is no separate normal-sample
+#   row to reroute (documented deviation).
 UNWIRED = {
-    "resolve_symlinks", "working_directory",
     "use_same_read_profile_for_all_samples",
     "use_germline_forest_for_somatic_normals",
     "regenotype", "sample_dropout_concentrations",

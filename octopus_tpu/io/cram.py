@@ -55,6 +55,18 @@ _BASE_INDEX = {b: i for i, b in enumerate(_BASES)}
 # varints
 # ---------------------------------------------------------------------------
 
+
+def _fnv1a(name) -> int:
+    """FNV-1a over the read name — the same hash the native BAM decoder
+    emits, so BAM- and CRAM-sourced batches mix consistently for
+    duplicate/pair linkage."""
+    if isinstance(name, str):
+        name = name.encode()
+    h = 1469598103934665603
+    for b in name:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
 def read_itf8(data: bytes, off: int) -> tuple[int, int]:
     b0 = data[off]
     if b0 < 0x80:
@@ -1083,7 +1095,7 @@ class CramFile:
                     mate_begins[i] = rec.mate_pos - 1
                     mate_same[i] = rec.mate_ref_id == rec.ref_id
                 tlens[i] = rec.tlen
-                name_hashes[i] = hash(rec.name) & 0xFFFFFFFFFFFFFFFF
+                name_hashes[i] = _fnv1a(rec.name)
                 if names is not None:
                     names.append(rec.name.decode("latin-1"))
                 if aux_parts is not None:

@@ -315,6 +315,22 @@ def _setup_components(args):
     used by process workers to rebuild identical state in their own address
     space (the reference's per-thread components are shared-memory;
     calling_components.hpp:35-175)."""
+    # -w/--working-directory: outputs and temp files become relative to it
+    # (cli.md:66-71); --resolve-symlinks replaces symlinked input paths with
+    # their targets at initialisation (cli.md:80-86)
+    wd = getattr(args, "working_directory", None)
+    if wd:
+        os.makedirs(wd, exist_ok=True)
+        os.chdir(wd)
+    if getattr(args, "resolve_symlinks", False):
+        for attr in ("reference", "output", "bamout", "forest_model",
+                     "somatic_forest_model"):
+            v = getattr(args, attr, None)
+            if isinstance(v, str) and os.path.islink(v):
+                setattr(args, attr, os.path.realpath(v))
+        if getattr(args, "reads", None):
+            args.reads = [os.path.realpath(p) if os.path.islink(p) else p
+                          for p in args.reads]
     from .config.options import collate
     try:
         components = collate(args)

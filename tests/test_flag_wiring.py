@@ -279,3 +279,29 @@ def test_noise_model_keeps_clean_normal_somatics():
     calls = CancerCaller(ref, "chr1", _cancer_cfg()).call(
         0, 600, [tumour, normal])
     assert [c for c in calls if c.info.get("SOMATIC")]
+
+
+def test_working_directory_and_resolve_symlinks(tmp_path):
+    """-w sets the run's working directory for relative outputs
+    (cli.md:66-71); --resolve-symlinks replaces symlinked inputs
+    (cli.md:80-86)."""
+    import os
+    from octopus_tpu.cli import build_parser
+    from octopus_tpu.run import run_calling
+    from octopus_tpu.utils.synthetic import simulate_diploid
+
+    fa, bam, truth, n = simulate_diploid(str(tmp_path), kb=4, depth=10, seed=4)
+    link = tmp_path / "link.bam"
+    os.symlink(bam, link)
+    os.symlink(bam + ".bai", str(link) + ".bai")
+    wd = tmp_path / "outdir"
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args(
+            ["-R", str(fa), "-I", str(link), "-o", "rel.vcf", "-T", "chr1",
+             "-w", str(wd), "--resolve-symlinks"])
+        assert run_calling(args) == 0
+        assert (wd / "rel.vcf").exists()
+        assert args.reads[0] == os.path.realpath(str(link))
+    finally:
+        os.chdir(cwd)
