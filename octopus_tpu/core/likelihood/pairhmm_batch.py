@@ -501,7 +501,14 @@ def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
         return _pairhmm_scores_sharded(
             n_dev, tgt, qual, win, opn, ext, mask, prior,
             pad=pad, nuc_prior=nuc_prior, use_pallas=use_pallas)
+    # the pallas kernels keep whole (R, LANES) read tracks plus ~5 (W, LANES)
+    # window tracks in VMEM with pipeline double-buffering; past ~1 kb reads
+    # that exceeds the 16 MB scoped-vmem budget, so long-read batches ride
+    # the XLA wavefront path instead (no VMEM ceiling)
+    max_pallas_len = int(os.environ.get("OCTOPUS_TPU_MAX_PALLAS_READ_LEN",
+                                        1024))
     if (platform == "tpu" and tgt.shape[0] % LANES == 0
+            and tgt.shape[1] <= max_pallas_len
             and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
         if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1":
             args = [np.ascontiguousarray(np.asarray(a, np.int32).T)
