@@ -106,7 +106,6 @@ class DeNovoModel:
     def _align_hmm(self, child, parent, ctx):
         import numpy as np
         from ..likelihood import pairhmm_ref as ph
-        from .indel_mutation import extension_probability
 
         pad = self.BAND
         R = len(child)
@@ -120,11 +119,7 @@ class DeNovoModel:
         opn[pad:pad + len(parent)] = [self._prob_to_penalty(p)
                                       for p in ctx.gap_open]
         ext[pad:pad + len(parent)] = [
-            self._prob_to_penalty(min(
-                extension_probability(int(ctx.period[i]),
-                                      int(ctx.num_periods[i]), 1,
-                                      open_prior=float(ctx.gap_open[i])),
-                ctx.params.max_extend_probability))
+            self._prob_to_penalty(float(ctx.gap_extend[i, 1]))
             for i in range(len(parent))]
         snv_pen = self._prob_to_penalty(self.params.snv_prior)
         quals = np.full(R, snv_pen, np.uint8)

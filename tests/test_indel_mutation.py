@@ -15,35 +15,43 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def test_extension_matches_reference_formula():
-    # spot values verified against the reference's generated table
-    # (indel_mutation_model_config.hpp): sigmoid ramps at whole periods,
-    # 1.0 mid-period, base ramp restarting past the tract
+def test_tables_bit_exact_vs_reference_golden():
+    """The shipped npz is byte-identical to the reference's generated
+    tables (indel_mutation_model_config.hpp), re-dumped in place by
+    tests/golden/golden_indel_table.cpp."""
+    import os
+    import subprocess
+    from octopus_tpu.core.models.indel_mutation import (ENRICHMENT_TABLE,
+                                                        EXTENSION_TABLE)
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "golden_indel_table")
+    if not os.path.exists(golden):
+        pytest.skip("golden_indel_table binary not built")
+    raw = np.frombuffer(subprocess.run([golden], stdout=subprocess.PIPE,
+                                       check=True).stdout, dtype="<f8")
+    assert raw.size == 11 * 31 + 11 * 51 * 101
+    assert np.array_equal(raw[:11 * 31].reshape(11, 31), ENRICHMENT_TABLE)
+    assert np.array_equal(raw[11 * 31:].reshape(11, 51, 101), EXTENSION_TABLE)
+
+
+def test_extension_matches_reference_table():
+    # table spot values copied by eye from indel_mutation_model_config.hpp
     assert abs(extension_probability(1, 0, 0) - _sigmoid(-3)) < 1e-12
-    assert abs(extension_probability(1, 0, 5) - _sigmoid(2)) < 1e-12
-    # period 1, 10 periods: logit = sqrt(10) - 3 + gap inside the tract
-    for g in range(10):
-        want = _sigmoid(np.sqrt(10) - 3 + g)
-        assert abs(extension_probability(1, 10, g) - want) < 1e-12
-    # beyond the tract the base ramp restarts
-    assert abs(extension_probability(1, 10, 10) - _sigmoid(-3)) < 1e-12
-    assert abs(extension_probability(1, 3, 3) - _sigmoid(-3)) < 1e-12
     # mid-period positions must extend
     assert extension_probability(2, 5, 1) == 1.0
     assert extension_probability(3, 4, 2) == 1.0
-    # whole-period with the base-ramp max: p2 n5 gap 8 -> max(4.162, 5) = 5
-    assert abs(extension_probability(2, 5, 8) - _sigmoid(5.0)) < 1e-12
-    # long-tract sqrt cap at 49
-    assert abs(extension_probability(1, 50, 0) - _sigmoid(np.sqrt(49) - 3)) < 1e-12
+    # gap clamps at the table edge (gap 100)
+    assert extension_probability(1, 0, 1000) == extension_probability(1, 0, 100)
+    # the floor at the open prior applies
+    assert extension_probability(1, 0, 0, open_prior=0.5) == 0.5
 
 
-def test_enrichment_monotone_and_anchored():
-    # anchored to the Montgomery-derived curve at knots
+def test_enrichment_anchored_exact():
+    # exact table values (indel_mutation_model_config.hpp rows 1 and 2)
     assert enrichment(1, 0) == 1.0
-    assert abs(enrichment(1, 4) - 2.64) < 0.01
-    assert abs(enrichment(1, 10) - 256.23) / 256.23 < 0.01
-    assert abs(enrichment(2, 5) - 26.09) / 26.09 < 0.01
-    # monotone in num_periods, saturating
+    assert enrichment(1, 4) == 2.64
+    assert enrichment(1, 10) == 256.23
+    assert enrichment(2, 5) == 26.09
     vals = [enrichment(1, n) for n in range(31)]
     assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
     assert enrichment(1, 100) == vals[30]
