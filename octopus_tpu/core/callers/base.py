@@ -111,6 +111,10 @@ class SiteCall:
     # phred quality of the phase set this site belongs to (phaser.cpp
     # phase-set quality; emitted as FORMAT/PQ, vcf_record_factory.cpp:681)
     phase_quality: float | None = None
+    # per-sample model posterior, phred of P(model wrong) — FORMAT MP
+    # (caller.cpp:975-996 set_model_posteriors; emitted
+    # vcf_record_factory.cpp:684-690); joint MP rides info["MP"]
+    model_posteriors: list[float] | None = None
 
     # single-sample conveniences
     @property
@@ -397,6 +401,62 @@ class CallerBase:
             prior_model=prior_model, contains=contains,
         )
 
+    # -- genotype proposal (with explosion guard) --------------------------
+
+    def propose_genotypes(self, ctx: ActiveRegionContext, ploidy: int,
+                          lnL: np.ndarray) -> np.ndarray:
+        """All genotypes of `ploidy`, or the max-zygosity seeded reduction
+        when the count exceeds --max-genotypes
+        (IndividualCaller::propose_genotypes,
+        individual_caller.cpp:699-752): start at the largest ploidy whose
+        full enumeration fits, then repeatedly keep the top posterior
+        genotypes as seeds and extend them by every haplotype until the
+        target ploidy, always retaining the hom-ref genotype."""
+        from ..models.individual import IndividualModel
+        from ..types.genotypes import generate_all_genotypes, num_genotypes
+        cfg = self.config
+        H = len(ctx.haplotypes)
+        cap = cfg.max_genotypes
+        if cap is None or num_genotypes(H, ploidy) <= cap:
+            return generate_all_genotypes(H, ploidy)
+        p = ploidy - 1
+        while p > 1 and num_genotypes(H, p) > cap:
+            p -= 1
+        result = generate_all_genotypes(H, p)
+        model = IndividualModel(ctx.prior_model,   # has evaluate_many
+                                use_device=cfg.use_device)
+        ref_idx = next((i for i, h in enumerate(ctx.haplotypes)
+                        if not h.variants), None)
+        while p < ploidy:
+            log_post = model.evaluate(result, lnL).log_posteriors
+            order = np.argsort(log_post)                  # ascending
+            result = result[order]
+            chunks: list[np.ndarray] = []
+            built = 0
+            for _ in range(3):
+                if built >= cap or len(result) == 0:
+                    break
+                num_seeds = max((cap - built) // max(H, 1), 1)
+                num_seeds = min(num_seeds, len(result))
+                seeds = result[len(result) - num_seeds:]
+                # keep the hom-ref genotype among the seeds (QUAL sanity,
+                # individual_caller.cpp:736-741)
+                if ref_idx is not None:
+                    hom_ref = np.full(p, ref_idx)
+                    if not (seeds == hom_ref).all(axis=1).any():
+                        where = np.nonzero(
+                            (result[:len(result) - num_seeds]
+                             == hom_ref).all(axis=1))[0]
+                        if len(where):
+                            seeds = np.concatenate(
+                                [seeds[1:], result[where[:1]]])
+                chunks.append(extend_genotypes(seeds, H))
+                built = len(np.unique(np.concatenate(chunks), axis=0))
+                result = result[:len(result) - num_seeds]
+            result = np.unique(np.concatenate(chunks), axis=0)
+            p += 1
+        return result
+
     # -- subclass hook -----------------------------------------------------
 
     def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
@@ -461,6 +521,42 @@ def _link_template_columns(lnL: np.ndarray, batch) -> np.ndarray:
     return out
 
 
+def model_posterior_phred(normal_log_evidence: float,
+                          dummy_log_evidence: float,
+                          noise_log_evidence: float | None = None) -> float:
+    """Phred-scaled model posterior from competing model evidences.
+
+    Mirrors the static calculate_model_posterior shared by the callers
+    (individual_caller.cpp:168-177, population_caller.cpp:230-239,
+    trio_caller.cpp:444-453, cancer_caller.cpp:208-230): the used model
+    carries prior 0.9999999 and the higher-capacity dummy model 1e-7;
+    with a noise model the normaliser takes max(dummy, noise)
+    (cancer_caller.cpp:219-230).  The emitted value is
+    probability_false_to_phred(1 - mp) (caller.cpp:984-989)."""
+    ln_normal = math.log(0.9999999) + normal_log_evidence
+    ln_dummy = math.log(1.0 - 0.9999999) + dummy_log_evidence
+    if noise_log_evidence is not None:
+        ln_dummy = max(ln_dummy,
+                       math.log(1.0 - 0.9999999) + noise_log_evidence)
+    norm = logsumexp(np.asarray([ln_normal, ln_dummy]))
+    mp = math.exp(ln_normal - norm)
+    return -10.0 * math.log10(max(1.0 - mp, 1e-300))
+
+
+def extend_genotypes(seeds: np.ndarray, n_haplotypes: int) -> np.ndarray:
+    """All distinct ploidy+1 genotypes obtained by appending one haplotype
+    to each seed genotype (genotype.hpp extend; used by the model-check
+    genotype proposals, individual_caller.cpp:755-767)."""
+    seeds = np.asarray(seeds)
+    if seeds.ndim == 1:
+        seeds = seeds[None, :]
+    K, P = seeds.shape
+    rep = np.repeat(seeds, n_haplotypes, axis=0)              # (K*H, P)
+    add = np.tile(np.arange(n_haplotypes), K)[:, None]        # (K*H, 1)
+    out = np.sort(np.concatenate([rep, add], axis=1), axis=1)
+    return np.unique(out, axis=0)
+
+
 def phred_not(log_posts: np.ndarray) -> float:
     """phred(P(none of these)) from log posteriors of the complement set."""
     if len(log_posts) == 0:
@@ -475,4 +571,6 @@ __all__ = [
     "SiteCall",
     "ActiveRegionContext",
     "phred_not",
+    "model_posterior_phred",
+    "extend_genotypes",
 ]

@@ -187,6 +187,7 @@ class CancerCaller(CallerBase):
         # "somatic" signal lives in the normal too -> veto somatic calls
         # (cancer_caller.cpp:1254-1266)
         noise_veto = False
+        noise_ev = None
         if (cancer_tuples and cfg.normal_sample is not None
                 and str(cfg.normal_contamination_risk).lower() != "high"):
             s = cfg.normal_sample
@@ -218,10 +219,30 @@ class CancerCaller(CallerBase):
         model_log_post -= logsumexp(model_log_post)
         model_post = np.exp(model_log_post)
 
-        return self._make_calls(ctx, genotypes, germline_post, model_post,
-                                cancer_meta, somatic_post,
-                                som_alphas_by_s if cancer_tuples else None,
-                                noise_veto=noise_veto)
+        # joint model posterior (INFO MP): the normal sample's germline
+        # evidence vs a demoted ploidy+1 dummy (and the noise fit when
+        # available) — CancerCaller::calculate_model_posterior
+        # (cancer_caller.cpp:246-276)
+        joint_mp = None
+        if (cfg.normal_sample is not None and cancer_tuples
+                and cfg.model_posterior_policy == "all"):
+            from .base import model_posterior_phred
+            s = cfg.normal_sample
+            normal_ev = float(logsumexp(log_priors + likelihoods[s]))
+            demoted = np.unique(np.sort(tuples, axis=1), axis=0)
+            dummy_ev = float(logsumexp(
+                ctx.prior_model.evaluate_many(demoted)
+                + genotype_log_likelihoods_np(ctx.lnL[s], demoted)))
+            joint_mp = model_posterior_phred(normal_ev, dummy_ev, noise_ev)
+
+        calls = self._make_calls(ctx, genotypes, germline_post, model_post,
+                                 cancer_meta, somatic_post,
+                                 som_alphas_by_s if cancer_tuples else None,
+                                 noise_veto=noise_veto)
+        if joint_mp is not None:
+            for c in calls:
+                c.info.setdefault("MP", round(joint_mp, 2))
+        return calls
 
     def _somatic_vaf_gates(self, som_alphas_by_s, map_t):
         """Somatic-VAF posterior statistics of the MAP cancer genotype.
@@ -319,6 +340,11 @@ class CancerCaller(CallerBase):
         n_samples = len(ctx.lnL)
         out = []
         for si, group in enumerate(site_groups):
+            site_info = dict(info)
+            if site_info.get("SOMATIC"):
+                # INFO PP: the somatic classification posterior
+                # (somatic_call.cpp:49-56)
+                site_info["PP"] = round(max(quality_of[v] for v in group), 2)
             hap_allele = site_alleles[si]
             if info.get("SOMATIC"):
                 # tumour samples carry the somatic allele as an extra ploidy
@@ -350,7 +376,7 @@ class CancerCaller(CallerBase):
                 genotype_qualities=gqs,
                 phase_set=group[0].begin,
                 alt_qualities=[quality_of[v] for v in group],
-                info=dict(info),
+                info=site_info,
             ))
         return out
 

@@ -21,12 +21,13 @@ from ...basics.reads import ReadBatch
 from ..hapgen.generator import group_exclusive_sites
 from ..models.individual import IndividualModel
 from ..tools.phaser import Phaser, PhaserConfig
-from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
     BaseCallerConfig,
     CallerBase,
     SiteCall,
+    extend_genotypes,
+    model_posterior_phred,
     phred_not,
 )
 
@@ -45,7 +46,7 @@ class IndividualCaller(CallerBase):
 
     def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
         cfg = self.config
-        genotypes = generate_all_genotypes(len(ctx.haplotypes), cfg.ploidy)
+        genotypes = self.propose_genotypes(ctx, cfg.ploidy, ctx.lnL[0])
         model = IndividualModel(_PriorAdapter(ctx.prior_model),
                                 use_device=cfg.use_device)
         latents = model.evaluate(genotypes, ctx.lnL[0])
@@ -59,6 +60,9 @@ class IndividualCaller(CallerBase):
                 called.append((v, phred))
         if not called:
             return []
+        mp = None
+        if cfg.model_posterior_policy == "all":
+            mp = self._model_posterior(ctx, genotypes, latents, model)
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
@@ -87,8 +91,20 @@ class IndividualCaller(CallerBase):
                 phase_set=site_phase_set.get(si, group[0].begin),
                 phase_quality=site_phase_quality.get(si),
                 alt_qualities=[quality_of[v] for v in group],
+                model_posteriors=[mp] if mp is not None else None,
             ))
         return out
+
+    def _model_posterior(self, ctx, genotypes, latents, model) -> float:
+        """Model-check posterior: the called-ploidy model vs a dummy
+        ploidy+1 model grown from the top genotypes
+        (IndividualCaller::calculate_model_posterior,
+        individual_caller.cpp:179-192 and :755-767)."""
+        num_seeds = min(3, len(genotypes))
+        seeds = genotypes[np.argsort(latents.log_posteriors)[::-1][:num_seeds]]
+        dummy_genotypes = extend_genotypes(seeds, len(ctx.haplotypes))
+        dummy = model.evaluate(dummy_genotypes, ctx.lnL[0])
+        return model_posterior_phred(latents.log_evidence, dummy.log_evidence)
 
 
 class _PriorAdapter:

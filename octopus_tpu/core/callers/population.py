@@ -22,12 +22,13 @@ import numpy as np
 from ..hapgen.generator import group_exclusive_sites
 from ..models.individual import IndividualModel, logsumexp
 from ..tools.phaser import Phaser, PhaserConfig
-from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
     BaseCallerConfig,
     CallerBase,
     SiteCall,
+    extend_genotypes,
+    model_posterior_phred,
     phred_not,
 )
 
@@ -35,8 +36,9 @@ from .base import (
 @dataclass
 class PopulationCallerConfig(BaseCallerConfig):
     joint_model: bool = True
-    max_genotype_combinations: int = 10000
-    max_joint_samples: int = 5        # exact joint only for small cohorts
+    # reference default for the population caller
+    # (option_collation.cpp:2106-2120: 100'000 unless --fast)
+    max_genotype_combinations: int = 100_000
 
 
 class PopulationCaller(CallerBase):
@@ -47,12 +49,34 @@ class PopulationCaller(CallerBase):
     def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
         cfg = self.config
         n_samples = len(ctx.lnL)
-        genotypes = generate_all_genotypes(len(ctx.haplotypes), cfg.ploidy)
+        # explosion guard scores seeds on the pooled reads (all samples)
+        genotypes = self.propose_genotypes(
+            ctx, cfg.ploidy, np.concatenate(ctx.lnL, axis=1))
         model = IndividualModel(_Prior(ctx.prior_model), use_device=cfg.use_device)
         latents = [model.evaluate(genotypes, ctx.lnL[s]) for s in range(n_samples)]
-        if (cfg.joint_model and 1 < n_samples <= cfg.max_joint_samples):
+        if cfg.joint_model and n_samples > 1:
             return self._call_joint(ctx, genotypes, latents)
         return self._call_independent(ctx, genotypes, latents)
+
+    def _model_posteriors(self, ctx, genotypes,
+                          marginal_log_posts) -> list[float] | None:
+        """Per-sample model posteriors: a restricted top-5 genotype model vs
+        the same seeds augmented with every haplotype (ploidy+1)
+        (PopulationCaller::calculate_model_posterior,
+        population_caller.cpp:241-260 and :845-862)."""
+        if self.config.model_posterior_policy != "all":
+            return None
+        model = IndividualModel(_Prior(ctx.prior_model),
+                                use_device=self.config.use_device)
+        mps = []
+        for s, marg in enumerate(marginal_log_posts):
+            k = min(5, len(genotypes))
+            assumed = genotypes[np.argsort(marg)[::-1][:k]]
+            augmented = extend_genotypes(assumed, len(ctx.haplotypes))
+            lev1 = model.evaluate(assumed, ctx.lnL[s]).log_evidence
+            lev2 = model.evaluate(augmented, ctx.lnL[s]).log_evidence
+            mps.append(model_posterior_phred(lev1, lev2))
+        return mps
 
     # -- independent mode --------------------------------------------------
 
@@ -72,6 +96,8 @@ class PopulationCaller(CallerBase):
                 called.append((v, total_phred))
         if not called:
             return []
+        mps = self._model_posteriors(ctx, genotypes,
+                                     [l.log_posteriors for l in latents])
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
@@ -104,6 +130,7 @@ class PopulationCaller(CallerBase):
                 phase_set=site_ps.get(si, group[0].begin),
                 phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
+                model_posteriors=mps,
             ))
         return out
 
@@ -113,16 +140,30 @@ class PopulationCaller(CallerBase):
         """Joint posterior over per-sample genotype combinations.
 
         p(g_1..g_S) propto prior_pop(union haplotypes) * prod_s p(reads_s|g_s)
-        with per-sample top-k pruning to respect max_genotype_combinations
-        (population_model.cpp's reduction strategy).
-        """
+        over all combinations when G^S fits --max-genotype-combinations,
+        else over the EM-marginal top-k tuple reduction at ANY cohort size
+        (PopulationModel::evaluate, population_model.cpp:594-615 +
+        propose_genotype_combinations :492-521)."""
+        from ..models.population_em import (em_genotype_marginals,
+                                            propose_genotype_combinations)
         cfg = self.config
         n_samples = len(latents)
         G = len(genotypes)
-        k = max(2, int(round(cfg.max_genotype_combinations ** (1.0 / n_samples))))
-        k = min(k, G)
-        tops = [np.argsort(l.log_priors + l.log_likelihoods)[::-1][:k] for l in latents]
-        combos = list(product(*tops))
+        cap = cfg.max_genotype_combinations
+        if G ** n_samples <= cap:
+            combos = list(product(*[range(G)] * n_samples))
+        else:
+            loglik = np.stack([l.log_likelihoods for l in latents])  # (S, G)
+            marginals = em_genotype_marginals(genotypes, loglik,
+                                              len(ctx.haplotypes))
+            ref_idx = next((i for i, h in enumerate(ctx.haplotypes)
+                            if not h.variants), None)
+            hom_ref_gidx = None
+            if ref_idx is not None:
+                hits = np.nonzero((genotypes == ref_idx).all(axis=1))[0]
+                hom_ref_gidx = int(hits[0]) if len(hits) else None
+            combos = [tuple(row) for row in propose_genotype_combinations(
+                genotypes, marginals, cap, hom_ref_gidx)]
         joint_scores = np.empty(len(combos))
         prior_cache: dict[tuple, float] = {}
         independent_priors = getattr(self.config,
@@ -159,6 +200,13 @@ class PopulationCaller(CallerBase):
                 called.append((v, phred))
         if not called:
             return []
+        # per-sample marginal genotype posteriors from the joint states
+        marginals = []
+        for s in range(n_samples):
+            marg = np.full(G, -np.inf)
+            np.logaddexp.at(marg, combo_arr[:, s], joint_scores)
+            marginals.append(marg)
+        mps = self._model_posteriors(ctx, genotypes, marginals)
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
@@ -191,6 +239,7 @@ class PopulationCaller(CallerBase):
                 phase_set=site_ps.get(si, group[0].begin),
                 phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
+                model_posteriors=mps,
             ))
         return out
 

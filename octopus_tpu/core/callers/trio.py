@@ -16,14 +16,16 @@ import numpy as np
 
 from ..hapgen.generator import group_exclusive_sites
 from ..models.denovo import DeNovoModel, DeNovoParams
+from ..models.individual import IndividualModel
 from ..models.trio import TrioModel
 from ..tools.phaser import Phaser, PhaserConfig
-from ..types.genotypes import generate_all_genotypes
 from .base import (
     ActiveRegionContext,
     BaseCallerConfig,
     CallerBase,
     SiteCall,
+    extend_genotypes,
+    model_posterior_phred,
     phred_not,
 )
 
@@ -47,7 +49,9 @@ class TrioCaller(CallerBase):
     def _infer_and_call(self, ctx: ActiveRegionContext) -> list[SiteCall]:
         cfg = self.config
         assert len(ctx.lnL) == 3, "trio caller needs [maternal, paternal, child]"
-        genotypes = generate_all_genotypes(len(ctx.haplotypes), cfg.ploidy)
+        # explosion guard scores seeds on the pooled trio reads
+        genotypes = self.propose_genotypes(
+            ctx, cfg.ploidy, np.concatenate(ctx.lnL, axis=1))
         model = TrioModel(
             _Prior(ctx.prior_model),
             DeNovoModel(DeNovoParams(cfg.denovo_snv_prior, cfg.denovo_indel_prior)),
@@ -61,6 +65,7 @@ class TrioCaller(CallerBase):
         map_gts = [genotypes[g] for g in map_combo]
         called = []
         denovo_flags = {}
+        denovo_posteriors = {}
         for vi, v in enumerate(ctx.variants):
             g_has = ctx.contains[vi][genotypes].any(axis=1)     # (G,)
             combo_has = g_has[combos].any(axis=1)
@@ -73,8 +78,10 @@ class TrioCaller(CallerBase):
                              & ~g_has[combos[:, 0]] & ~g_has[combos[:, 1]])
                 dn_phred = phred_not(log_post[~dn_states])
                 denovo_flags[v] = dn_phred >= cfg.min_denovo_posterior_phred
+                denovo_posteriors[v] = dn_phred
         if not called:
             return []
+        mps = self._model_posteriors(ctx, genotypes, combos, latents)
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
@@ -103,6 +110,12 @@ class TrioCaller(CallerBase):
             info = {}
             if any(denovo_flags.get(v, False) for v in group):
                 info["DENOVO"] = True
+                # INFO PP: the de novo classification posterior, distinct
+                # from QUAL = variant posterior (denovo_call.cpp:10-16;
+                # trio_caller.cpp:1010-1021 passes denovo.denovo_posterior)
+                info["PP"] = round(max(
+                    denovo_posteriors[v] for v in group
+                    if denovo_flags.get(v, False)), 2)
             out.append(SiteCall(
                 begin=min(v.begin for v in group),
                 end=max(v.end for v in group),
@@ -114,8 +127,32 @@ class TrioCaller(CallerBase):
                 phase_quality=site_pq.get(si),
                 alt_qualities=[quality_of[v] for v in group],
                 info=info,
+                model_posteriors=mps,
             ))
         return out
+
+    def _model_posteriors(self, ctx, genotypes, combos,
+                          latents) -> list[float] | None:
+        """Per-member model posteriors: a restricted top-5 single-sample
+        model (from the member's marginal posterior over the joint states)
+        vs the same seeds extended by every haplotype
+        (TrioCaller::calculate_model_posterior, trio_caller.cpp:458-508)."""
+        if self.config.model_posterior_policy != "all":
+            return None
+        model = IndividualModel(_Prior(ctx.prior_model),
+                                use_device=self.config.use_device)
+        log_post = latents.log_posteriors
+        mps = []
+        for member in range(3):
+            marg = np.full(len(genotypes), -np.inf)
+            np.logaddexp.at(marg, combos[:, member], log_post)
+            k = min(5, len(genotypes))
+            assumed = genotypes[np.argsort(marg)[::-1][:k]]
+            augmented = extend_genotypes(assumed, len(ctx.haplotypes))
+            lev1 = model.evaluate(assumed, ctx.lnL[member]).log_evidence
+            lev2 = model.evaluate(augmented, ctx.lnL[member]).log_evidence
+            mps.append(model_posterior_phred(lev1, lev2))
+        return mps
 
 
 class _Prior:

@@ -323,8 +323,13 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
         out["BQ"] = None
     else:
         out["BQ"] = float(np.median(ctx.alt_base_qualities))
-    out["MP"] = call.info.get("MP", call.quality)
-    out["MPD"] = out["MP"] / depth if depth else 0.0
+    # MP: per-sample FORMAT MP (sample 0) else joint INFO MP else missing
+    # (model_posterior.cpp:27-45) — no QUAL fallback: MP is a genuinely
+    # separate signal (model misfit), computed by the callers
+    mps = getattr(call, "model_posteriors", None)
+    out["MP"] = (float(mps[0]) if mps else call.info.get("MP"))
+    out["MPD"] = (out["MP"] / depth if depth and out["MP"] is not None
+                  else None)
     out["QD"] = call.quality / depth if depth else 0.0
     out["GQD"] = out["GQ"] / depth if depth else 0.0
     if expected_af is None:
@@ -418,14 +423,27 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     out["DENOVO"] = int(bool(call.info.get("DENOVO")))
     out["SOMATIC"] = int(bool(call.info.get("SOMATIC")))
     out["REFCALL"] = int(not call.alts or not len(v.alt_codes))
-    out["PP"] = call.info.get("PP", call.quality)
-    out["PPD"] = out["PP"] / depth if depth else 0.0
+    # PP: the de novo / somatic classification posterior (INFO PP,
+    # posterior_probability.cpp:25-33); missing for plain germline calls
+    out["PP"] = call.info.get("PP")
+    out["PPD"] = (out["PP"] / depth if depth and out["PP"] is not None
+                  else None)
     out["PPP"] = call.info.get("PPP")
-    out["SHC"] = call.info.get("SHC", int(bool(call.info.get("SOMATIC"))))
+    # SHC: called ploidy minus constitutional ploidy, somatic calls only
+    # (somatic_haplotype_count.cpp:25-39); the somatic sample's GT carries
+    # the somatic haplotype as an extra slot
+    if call.info.get("SOMATIC") and call.genotypes:
+        lens = [len(g) for g in call.genotypes]
+        out["SHC"] = max(lens) - min(lens) if len(lens) > 1 else 1
+    else:
+        out["SHC"] = call.info.get("SHC")
     out["MHL"] = call.info.get("MHL")
-    # CC = posterior / quality (classification_confidence.cpp:25-38)
-    out["CC"] = (out["PP"] / out["QUAL"] if out["QUAL"] and out["QUAL"] > 0
-                 else 0.0)
+    # CC = posterior / quality, missing unless both exist
+    # (classification_confidence.cpp:25-43)
+    if out["PP"] is not None and out["QUAL"] is not None:
+        out["CC"] = (out["PP"] / out["QUAL"] if out["QUAL"] > 0 else 0.0)
+    else:
+        out["CC"] = None
     out["PLN"] = phase_length if phase_length is not None else call.info.get("PLN", 0)
     # contamination measures
     if normal_batch is not None and len(normal_batch):

@@ -25,6 +25,7 @@ def make_vcf_header(reference, contigs: list[str], samples: list[str]) -> VcfHea
     h.add_info("DP", "1", "Integer", "Combined read depth")
     h.add_info("NS", "1", "Integer", "Number of samples with data")
     h.add_info("MP", "1", "Float", "Model posterior")
+    h.add_info("PP", "1", "Float", "Call posterior probability")
     h.add_info("MQ", "1", "Float", "RMS mapping quality")
     h.add_info("SOMATIC", "0", "Flag", "Somatic mutation call")
     h.add_info("DENOVO", "0", "Flag", "De novo mutation call")
@@ -36,6 +37,7 @@ def make_vcf_header(reference, contigs: list[str], samples: list[str]) -> VcfHea
     h.add_format("MQ", "1", "Integer", "RMS mapping quality")
     h.add_format("PS", "1", "String", "Phase set")
     h.add_format("PQ", "1", "Integer", "Phase quality (phred)")
+    h.add_format("MP", "1", "Float", "Per-sample model posterior (phred)")
     h.samples = list(samples)
     return h
 
@@ -67,6 +69,7 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
     # PQ: phase-set quality capped at 100 (vcf_record_factory.cpp:680-681)
     pq = (None if call.phase_quality is None
           else int(round(min(call.phase_quality, 100.0))))
+    mps = call.model_posteriors
     for s, gt_list in enumerate(call.genotypes):
         sv = {
             "GT": "|".join(str(a) for a in gt_list),
@@ -75,8 +78,12 @@ def site_call_to_record(call: SiteCall, contig: str, reference,
         }
         if pq is not None:
             sv["PQ"] = pq
+        if mps is not None:
+            # per-sample model posterior (vcf_record_factory.cpp:684-690)
+            sv["MP"] = round(mps[s if s < len(mps) else -1], 2)
         sample_values.append(sv)
-    format_keys = ["GT", "GQ", "PS"] + (["PQ"] if pq is not None else [])
+    format_keys = (["GT", "GQ", "PS"] + (["PQ"] if pq is not None else [])
+                   + (["MP"] if mps is not None else []))
     return VcfRecord(
         chrom=contig,
         pos=pos,

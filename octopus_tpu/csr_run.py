@@ -118,6 +118,21 @@ def _record_to_call(rec) -> SiteCall:
             gq = float(sv.get("GQ", 0))
         except (TypeError, ValueError):
             gq = 0.0
+    info = dict(rec.info)
+    for key in ("MP", "PP"):           # numeric INFO fields used in measures
+        if key in info:
+            try:
+                info[key] = float(info[key])
+            except (TypeError, ValueError):
+                del info[key]
+    mps = None
+    if rec.sample_values:              # FORMAT MP (per-sample model posterior)
+        try:
+            mps = [float(sv["MP"]) for sv in rec.sample_values if "MP" in sv]
+        except (TypeError, ValueError):
+            mps = None
+        if not mps:
+            mps = None
     return SiteCall(
         begin=min(v.begin for v in alts),
         end=max(v.end for v in alts),
@@ -127,7 +142,8 @@ def _record_to_call(rec) -> SiteCall:
         genotype_qualities=[gq],
         phase_set=pos0,
         alt_qualities=[rec.qual or 0.0] * len(alts),
-        info=dict(rec.info),
+        info=info,
+        model_posteriors=mps,
     )
 
 

@@ -92,12 +92,35 @@ class TestFullMeasureSet:
         from octopus_tpu.core.csr.measures import ALL_MEASURES
         call, batch, ref = self._scene()
         m = compute_measures(call, batch, ref_codes=ref, ref_begin=0)
+        # MP/MPD only exist when a caller computed a model posterior;
+        # PP/PPD/CC only for denovo/somatic calls; SHC only for somatic
+        # (model_posterior.cpp, posterior_probability.cpp,
+        # classification_confidence.cpp, somatic_haplotype_count.cpp)
         missing = [k for k in ALL_MEASURES
-                   if k not in m and k not in ("PPP", "MHL", "CC", "DC")]
+                   if k not in m and k not in ("PPP", "MHL", "CC", "DC",
+                                               "MP", "MPD", "PP", "PPD",
+                                               "SHC")]
         assert not missing, missing
         assert m["DP"] == 20
         assert m["AD"] == 10
         assert abs(m["AF"] - 0.5) < 1e-9
+
+    def test_model_posterior_measures_flow(self):
+        call, batch, ref = self._scene()
+        call.model_posteriors = [23.5]
+        call.info["PP"] = 150.0
+        m = compute_measures(call, batch, ref_codes=ref, ref_begin=0)
+        assert m["MP"] == 23.5                      # FORMAT MP, not QUAL
+        assert m["MP"] != m["QUAL"]
+        assert m["MPD"] == pytest.approx(23.5 / m["DP"])
+        assert m["PP"] == 150.0
+        assert m["CC"] == pytest.approx(150.0 / call.quality)
+
+    def test_joint_info_mp_used_when_no_format_mp(self):
+        call, batch, ref = self._scene()
+        call.info["MP"] = 7.25
+        m = compute_measures(call, batch, ref_codes=ref, ref_begin=0)
+        assert m["MP"] == 7.25
         assert m["ITV"] in (0, 1)
         assert m["VL"] == 1
         assert 0.0 <= m["GC"] <= 1.0

@@ -48,6 +48,7 @@ def _bundle(ref, batch, v, gt=(0, 1)):
 def test_assignment_based_support_measures():
     ref, seq, batch, v = _het_scene()
     call = FakeCall(v)
+    call.info["PP"] = call.quality     # CC = PP/QUAL needs INFO PP
     bundle = _bundle(ref, batch, v)
     m = compute_measures(call, batch, facets=bundle)
     # het SNV at 50%: assignment-based AF lands near 0.5 and AD+ADP sane
