@@ -283,7 +283,40 @@ def _make_caller(kind: str, reference, contig: str, samples: list[str],
     return IndividualCaller(reference, contig, CallerConfig())
 
 
+def _maybe_init_jax_distributed() -> None:
+    """Initialise the JAX multi-host runtime when launched as one process
+    of a pod job (SURVEY.md section 2.15's distributed backend).  Two
+    activation paths:
+
+    * explicit: OCTOPUS_TPU_COORDINATOR=<host:port> plus
+      OCTOPUS_TPU_NUM_PROCESSES / OCTOPUS_TPU_PROCESS_ID;
+    * auto: OCTOPUS_TPU_DISTRIBUTED=1 lets jax.distributed.initialize()
+      discover the topology from the TPU pod metadata.
+
+    Either way each process then calls its own striped/queued windows
+    (--work-queue / --shard-index) and the shard merge remains the cross-
+    host gather; device collectives ride ICI inside each host's mesh."""
+    coord = os.environ.get("OCTOPUS_TPU_COORDINATOR")
+    auto = os.environ.get("OCTOPUS_TPU_DISTRIBUTED")
+    if not coord and not auto:
+        return
+    import jax
+    if getattr(jax.distributed.global_state, "client", None) is not None:
+        return          # already initialised
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["OCTOPUS_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["OCTOPUS_TPU_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+    print(f"octopus-tpu: jax.distributed initialised "
+          f"(process {jax.process_index()}/{jax.process_count()})",
+          file=sys.stderr)
+
+
 def run_calling(args) -> int:
+    _maybe_init_jax_distributed()
     if getattr(args, "profile", None):
         # JAX profiler trace of the whole run (device + host annotations);
         # the reference's analog is its BENCHMARK phase-timer build
@@ -504,6 +537,15 @@ def _restrict_records(records, args):
     return records
 
 
+def _write_journal(path: str, done: dict) -> None:
+    """Atomic journal write: two hosts sharing one shard directory must
+    never interleave partial JSON (tmp + rename per writer)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(done, fh)
+    os.replace(tmp, path)
+
+
 def _run_calling_main(args, components, reference, bams, samples,
                       regions, pipe, csr, annotations, header,
                       refcall_mode, t0):
@@ -605,7 +647,7 @@ def _run_calling_main(args, components, reference, bams, samples,
                     for key, shard_path, n in ex.map(_process_worker_run, tasks):
                         window = window_of[key]
                         done[key] = shard_path
-                        json.dump(done, open(journal_path, "w"))
+                        _write_journal(journal_path, done)
                         if queue is not None:
                             queue.mark_done(key, {"shard": shard_path})
                         n_records += n
@@ -635,7 +677,7 @@ def _run_calling_main(args, components, reference, bams, samples,
             for window, shard_path, n in ex.map(run_one, pending):
                 with jlock:
                     done[window.key] = shard_path
-                    json.dump(done, open(journal_path, "w"))
+                    _write_journal(journal_path, done)
                 if queue is not None:
                     queue.mark_done(window.key, {"shard": shard_path})
                 n_records += n
@@ -645,7 +687,7 @@ def _run_calling_main(args, components, reference, bams, samples,
             window, shard_path, n = run_one(window)
             n_records += n
             done[window.key] = shard_path
-            json.dump(done, open(journal_path, "w"))
+            _write_journal(journal_path, done)
             if queue is not None:
                 queue.mark_done(window.key, {"shard": shard_path})
             progress.advance(window.end - window.begin)
