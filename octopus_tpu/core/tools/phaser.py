@@ -101,19 +101,20 @@ class Phaser:
             chunk = tuple(sorted(set(zip(patt_l[g].tolist(), patt_r[g].tolist()))))
             d = groups.setdefault((al, ar), {})
             d[chunk] = d.get(chunk, 0.0) + float(posteriors[g])
-        weights = {k: sum(v.values()) for k, v in groups.items()}
-        total_mass = sum(weights.values())
+        # total not-MAP mass in ABSOLUTE posterior units: the reference
+        # normalises within each allele-set group, scales back by the group
+        # weight and finally multiplies by the total heterozygous mass
+        # (phaser.cpp:367-390) — net effect Σ_sets (set_mass − max_chunk).
+        # A likely-homozygous pair (small het mass) therefore phases with
+        # high quality.
+        total_mass = sum(sum(v.values()) for v in groups.values())
         if total_mass <= 0 or not np.isfinite(total_mass):
             return MAX_QUALITY
         total_not_map = 0.0
-        for k, chunk_posts in groups.items():
+        for chunk_posts in groups.values():
             if len(chunk_posts) > 1:
-                w = weights[k]
-                if w <= 0:
-                    continue
-                vals = np.asarray(list(chunk_posts.values())) / w
-                not_map = float(vals.sum() - vals.max())
-                total_not_map += not_map * (w / total_mass)
+                vals = np.asarray(list(chunk_posts.values()))
+                total_not_map += float(vals.sum() - vals.max())
         return _phred(total_not_map)
 
     @staticmethod
