@@ -16,11 +16,20 @@ provides the HMM-assignment refinement where callers need it.
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass, field
 
 import numpy as np
 from scipy import stats as sps
+
+_log = logging.getLogger("octopus_tpu")
+
+# Facet-miss accounting (auditability of forest feature provenance): when a
+# facet bundle is absent or its measures raise, the pileup-based fallbacks
+# are used and this counter records it; the first few misses are warned.
+FACET_MISSES = 0
+_FACET_MISS_WARN_LIMIT = 5
 
 from ...basics.reads import (
     FLAG_DUPLICATE,
@@ -454,7 +463,18 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
         out["NC"] = 0
     out["DC"] = call.info.get("DC")
     if facets is not None:
-        _apply_facet_measures(out, call, v, facets)
+        global FACET_MISSES
+        try:
+            _apply_facet_measures(out, call, v, facets)
+        except Exception as exc:
+            # a facet failure must never silently degrade the forest
+            # features: count it and warn (pileup fallbacks remain in out)
+            FACET_MISSES += 1
+            if FACET_MISSES <= _FACET_MISS_WARN_LIMIT:
+                _log.warning(
+                    "facet measures failed at %s:%s (%s); pileup fallback "
+                    "used (miss #%d)", getattr(call, "begin", "?"),
+                    getattr(call, "end", "?"), exc, FACET_MISSES)
     return {k: val for k, val in out.items() if val is not None}
 
 

@@ -457,7 +457,7 @@ def _pairhmm_scores_sharded(n_dev, tgt, qual, win, opn, ext, mask, prior,
     """Data-parallel pair-HMM over a 1-D device mesh (SURVEY section 2.15
     TPU-equivalents): pure batch sharding, no collectives — the host gather
     is the only sync point."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     mesh = _data_mesh(n_dev)
     if use_pallas:

@@ -72,7 +72,7 @@ def _read_mesh(n_devices: int):
 def _genotype_lls_sharded_fn(n_dev: int, ploidy: int):
     """Reads sharded across the mesh; per-genotype partials psum over ICI
     (SURVEY section 2.15 TPU-equivalents)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as Pt
 
     def local(lnL_shard, counts):

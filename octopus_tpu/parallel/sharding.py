@@ -1,30 +1,30 @@
-"""Multi-chip sharding of the compute core.
+"""Multi-chip sharding of the compute core — public mesh API.
 
-The reference is a single-process shared-memory tool (SURVEY.md section 2.15);
-this module is its TPU-native replacement for scaling: a 1-D device mesh over
-which
+The reference is a single-process shared-memory tool (SURVEY.md section
+2.15); the TPU replacement shards
 
-* the pair-HMM batch is data-parallel (pairs are independent -> pure
-  sharding of the batch axis, zero collectives until the host gather), and
-* the genotype-likelihood reduction shards READS across devices: each device
-  computes partial per-genotype sums over its read shard and a psum over the
-  mesh produces the full genotype log-likelihoods — the collective rides ICI.
+* the pair-HMM batch data-parallel over a 1-D device mesh (pairs are
+  independent -> pure batch sharding, zero collectives until the host
+  gather), and
+* the genotype-likelihood reduction with READS across devices: each
+  device computes partial per-genotype sums over its read shard and a
+  psum over the mesh (ICI) produces the full genotype log-likelihoods.
 
-Multi-host runs shard genome regions across hosts (work queue over DCN) and
-use this module within each host's chips.
+This module only names the mesh and DELEGATES to the single product
+implementation used by the calling pipeline
+(core/likelihood/pairhmm_batch.py:_pairhmm_scores_sharded and
+core/models/genotype_likelihoods.py:_genotype_lls_sharded_fn), so the
+dryrun/tests exercise exactly the code the product runs.  Multi-host runs
+shard genome regions across hosts (parallel/work_queue.py over DCN) and
+use this within each host's chips.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..core.likelihood.pairhmm_batch import _hmm_rows, DEFAULT_NUC_PRIOR
+from jax.sharding import Mesh
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -35,48 +35,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def sharded_pairhmm_scores(mesh: Mesh, tgt, qual, win, opn, ext, mask, prior,
-                           *, pad=8, nuc_prior=DEFAULT_NUC_PRIOR):
-    """Batch-sharded pair-HMM scoring over the mesh ('data' axis on pairs).
-
-    B must divide by the mesh size; each device runs the wavefront on its
-    pair shard; no collectives needed.
-    """
-    axis = mesh.axis_names[0]
-
-    def local(tgt, qual, win, opn, ext, mask, prior):
-        args = [jnp.asarray(a, jnp.int32).T for a in (tgt, qual, win, opn, ext, mask, prior)]
-        return _hmm_rows(*args, pad, nuc_prior)
-
-    spec = P(axis)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(spec,) * 7, out_specs=spec)
-    return jax.jit(fn)(tgt, qual, win, opn, ext, mask, prior)
+                           *, pad=8, nuc_prior=None):
+    """Batch-sharded pair-HMM scoring over the mesh (product path)."""
+    from ..core.likelihood.pairhmm_batch import (DEFAULT_NUC_PRIOR,
+                                                 _pairhmm_scores_sharded)
+    n_dev = int(np.prod(mesh.devices.shape))
+    use_pallas = jax.default_backend() == "tpu"
+    return _pairhmm_scores_sharded(
+        n_dev, tgt, qual, win, opn, ext, mask, prior, pad=pad,
+        nuc_prior=DEFAULT_NUC_PRIOR if nuc_prior is None else nuc_prior,
+        use_pallas=use_pallas)
 
 
 def sharded_genotype_step(mesh: Mesh, lnL, counts, ploidy: int):
-    """Genotype posteriors with reads sharded across the mesh.
-
-    lnL: (H, R) read x haplotype log-likelihoods (R divisible by mesh size);
-    counts: (G, H) genotype multiplicity matrix.
-    Each device reduces its read shard on the MXU; a psum over ICI combines
-    the per-genotype partial sums; output replicated.
-    """
-    axis = mesh.axis_names[0]
-
-    def local(lnL_shard, counts_rep):
-        m = jnp.max(lnL_shard, axis=0)
-        m = jnp.where(jnp.isfinite(m), m, 0.0)
-        E = jnp.exp(lnL_shard - m[None, :])
-        S = jnp.dot(counts_rep, E, preferred_element_type=jnp.float32)
-        partial = jnp.sum(jnp.log(S) + m[None, :], axis=1)   # (G,)
-        total = jax.lax.psum(partial, axis)
-        n_reads_total = jax.lax.psum(jnp.float32(lnL_shard.shape[1]), axis)
-        return total - n_reads_total * np.log(ploidy)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, axis), P(None, None)),
-                   out_specs=P(None))
-    return jax.jit(fn)(jnp.asarray(lnL, jnp.float32), jnp.asarray(counts, jnp.float32))
+    """Genotype log-likelihoods with reads sharded across the mesh
+    (product path: per-device MXU partials + psum over ICI)."""
+    from ..core.models.genotype_likelihoods import _genotype_lls_sharded_fn
+    n_dev = int(np.prod(mesh.devices.shape))
+    fn = _genotype_lls_sharded_fn(n_dev, int(ploidy))
+    return fn(jnp.asarray(lnL, jnp.float32), jnp.asarray(counts, jnp.float32))
 
 
 __all__ = ["make_mesh", "sharded_pairhmm_scores", "sharded_genotype_step"]

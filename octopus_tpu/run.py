@@ -834,6 +834,11 @@ def _call_window(window, reference, bams, samples, pipe, csr, caller_cache,
             ref_lo = max(int(call.begin) - 120, 0)
             ref_hi = min(int(call.end) + 120,
                          reference.contig_size(window.contig))
+            if facet_of_call.get(id(call)) is None:
+                # CSR is on but this call has no facet bundle: the measures
+                # will use pileup fallbacks — count it (auditability)
+                from .core.csr import measures as _measures_mod
+                _measures_mod.FACET_MISSES += 1
             with timers.phase("csr_measures"):
                 measures = compute_measures(
                     call, merged_csr,

@@ -71,3 +71,95 @@ def test_real_window_calls_identical_with_and_without_mesh(tmp_path):
         del os.environ["OCTOPUS_TPU_NO_SHARD"]
     assert sharded
     assert sharded == single
+
+
+def _calls_signature(calls):
+    return [(c.begin, tuple(tuple(sorted(gt)) for gt in c.genotypes),
+             round(c.quality, 3), bool(c.info.get("SOMATIC")))
+            for c in calls]
+
+
+def test_cancer_caller_mesh_parity():
+    """The VB-heavy cancer path (subclone VB + noise model) launches device
+    work; calls under the 8-device mesh must equal single-device."""
+    from octopus_tpu.core.callers.cancer import CancerCaller, CancerCallerConfig
+    from tests.test_cancer_polyclone import mixed_reads
+    from tests.test_population_caller import make_reference, sample_reads, other
+
+    ref, seq = make_reference(seed=50)
+    alt = other(seq[300])
+    tumour = mixed_reads(seq, [({300: alt}, 0.2), ({}, 0.8)], seed=51,
+                         n_reads=300)
+    normal = sample_reads(seq, ({}, {}), seed=52, n_reads=150)
+
+    def call_all():
+        cfg = CancerCallerConfig(use_device=True, normal_sample=1)
+        cfg.scanner.inclusion = "somatic"
+        cfg.scanner.normal_sample = 1
+        caller = CancerCaller(ref, "chr1", cfg)
+        return _calls_signature(caller.call(0, 600, [tumour, normal]))
+
+    sharded = call_all()
+    os.environ["OCTOPUS_TPU_NO_SHARD"] = "1"
+    try:
+        single = call_all()
+    finally:
+        del os.environ["OCTOPUS_TPU_NO_SHARD"]
+    assert sharded
+    assert any(s[3] for s in sharded)      # the somatic call is present
+    assert sharded == single
+
+
+def test_cell_caller_mesh_parity():
+    """Single-cell phylogeny path under the mesh equals single-device."""
+    from octopus_tpu.core.callers.cell import CellCaller, CellCallerConfig
+    from tests.test_population_caller import make_reference, sample_reads, other
+
+    ref, seq = make_reference(seed=80)
+    alt = other(seq[300])
+    cells = [
+        sample_reads(seq, ({300: alt}, {}), seed=81, n_reads=60),
+        sample_reads(seq, ({300: alt}, {}), seed=82, n_reads=60),
+        sample_reads(seq, ({}, {}), seed=83, n_reads=60),
+        sample_reads(seq, ({}, {}), seed=84, n_reads=60),
+    ]
+
+    def call_all():
+        cfg = CellCallerConfig(use_device=True)
+        cfg.scanner.inclusion = "cell"
+        caller = CellCaller(ref, "chr1", cfg)
+        return _calls_signature(caller.call(0, 600, cells))
+
+    sharded = call_all()
+    os.environ["OCTOPUS_TPU_NO_SHARD"] = "1"
+    try:
+        single = call_all()
+    finally:
+        del os.environ["OCTOPUS_TPU_NO_SHARD"]
+    assert sharded
+    assert sharded == single
+
+
+def test_trio_caller_mesh_parity():
+    """Trio top-k joint reduction under the mesh equals single-device."""
+    from octopus_tpu.core.callers.trio import TrioCaller, TrioCallerConfig
+    from tests.test_population_caller import make_reference, sample_reads, other
+
+    ref, seq = make_reference(seed=60)
+    alt = other(seq[300])
+    mother = sample_reads(seq, ({300: alt}, {}), seed=61, n_reads=80)
+    father = sample_reads(seq, ({}, {}), seed=62, n_reads=80)
+    child = sample_reads(seq, ({300: alt}, {}), seed=63, n_reads=80)
+
+    def call_all():
+        caller = TrioCaller(ref, "chr1", TrioCallerConfig(use_device=True))
+        return _calls_signature(caller.call(0, 600, [mother, father, child]))
+
+    sharded = call_all()
+    os.environ["OCTOPUS_TPU_NO_SHARD"] = "1"
+    try:
+        single = call_all()
+    finally:
+        del os.environ["OCTOPUS_TPU_NO_SHARD"]
+    assert sharded
+    assert sharded == single

@@ -1,5 +1,10 @@
-import multiprocessing as mp
+import multiprocessing
 import os
+
+# spawn, not fork: the test session's JAX parent is multithreaded and
+# forking it risks deadlocks (pytest warned on every run); spawned
+# children re-import cleanly and behave like real independent hosts
+mp = multiprocessing.get_context("spawn")
 
 from octopus_tpu.parallel.work_queue import RegionWorkQueue, stripe
 
