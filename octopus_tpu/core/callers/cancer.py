@@ -224,8 +224,10 @@ class CancerCaller(CallerBase):
         # available) — CancerCaller::calculate_model_posterior
         # (cancer_caller.cpp:246-276)
         joint_mp = None
+        # SPECIAL computes MP whenever somatic calls are possible (somatic
+        # calls require model evaluation, somatic_call.hpp:57)
         if (cfg.normal_sample is not None and cancer_tuples
-                and cfg.model_posterior_policy == "all"):
+                and cfg.model_posterior_policy in ("all", "special")):
             from .base import model_posterior_phred
             s = cfg.normal_sample
             normal_ev = float(logsumexp(log_priors + likelihoods[s]))

@@ -81,7 +81,13 @@ class TrioCaller(CallerBase):
                 denovo_posteriors[v] = dn_phred
         if not called:
             return []
-        mps = self._model_posteriors(ctx, genotypes, combos, latents)
+        # SPECIAL policy computes MP only when a call requires model
+        # evaluation — i.e. a de novo call exists (caller.cpp:969-981)
+        policy = cfg.model_posterior_policy
+        want_mp = (policy == "all"
+                   or (policy == "special" and any(denovo_flags.values())))
+        mps = (self._model_posteriors(ctx, genotypes, combos, latents)
+               if want_mp else None)
         site_groups = group_exclusive_sites([v for v, _ in called])
         quality_of = {v: q for v, q in called}
         site_alleles = self.make_site_alleles(ctx, site_groups)
@@ -137,8 +143,6 @@ class TrioCaller(CallerBase):
         model (from the member's marginal posterior over the joint states)
         vs the same seeds extended by every haplotype
         (TrioCaller::calculate_model_posterior, trio_caller.cpp:458-508)."""
-        if self.config.model_posterior_policy != "all":
-            return None
         model = IndividualModel(_Prior(ctx.prior_model),
                                 use_device=self.config.use_device)
         log_post = latents.log_posteriors
