@@ -63,7 +63,7 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
                     prior = jax.random.randint(ks[6], (W, B), 3, 40, jnp.int32)
                     fn = (pb.pairhmm_scores_pallas_v8
                           if os.environ.get("OCTOPUS_TPU_UNROLLED_HMM") == "1"
-                          else pb.pairhmm_scores_pallas_v9)
+                          else pb._pallas_fn_for(B))
                     s = fn(tgt, qual, win, opn, ext, mask, prior, pad=PAD)
                 else:
                     tgt = jax.random.randint(ks[0], (B, R), 0, 4, jnp.int32)

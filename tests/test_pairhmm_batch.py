@@ -1,5 +1,6 @@
 """Batched device pair-HMM vs the numpy golden model."""
 
+import os
 import numpy as np
 import pytest
 
@@ -107,3 +108,28 @@ def test_pallas_v9_interpret_matches_xla(seed):
     argsT = [np.ascontiguousarray(a.T) for a in batch]
     got = np.asarray(pairhmm_scores_pallas_v9(*argsT, pad=8, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [6, 11])
+def test_pallas_v12_interpret_matches_xla(seed):
+    """Grouped-chain production kernel: K=4 independent wavefronts per
+    grid step; bit-identical to the XLA reference path."""
+    from octopus_tpu.core.likelihood.pairhmm_batch import (
+        LANES, V12_GROUPS, pairhmm_scores_pallas_v12)
+    batch, cases = make_batch(seed=seed, B=LANES * V12_GROUPS, rmax=32)
+    want = np.asarray(pairhmm_scores_xla(*batch, pad=8))
+    argsT = [np.ascontiguousarray(a.T) for a in batch]
+    got = np.asarray(pairhmm_scores_pallas_v12(*argsT, pad=8, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kernel_dispatch_by_batch_size():
+    from octopus_tpu.core.likelihood.pairhmm_batch import (
+        _pallas_fn_for, pairhmm_scores_pallas_v9, pairhmm_scores_pallas_v12)
+    assert _pallas_fn_for(2048) is pairhmm_scores_pallas_v12
+    assert _pallas_fn_for(128) is pairhmm_scores_pallas_v9
+    os.environ["OCTOPUS_TPU_KERNEL"] = "v9"
+    try:
+        assert _pallas_fn_for(2048) is pairhmm_scores_pallas_v9
+    finally:
+        del os.environ["OCTOPUS_TPU_KERNEL"]
