@@ -164,32 +164,37 @@ class PopulationCaller(CallerBase):
                 hom_ref_gidx = int(hits[0]) if len(hits) else None
             combos = [tuple(row) for row in propose_genotype_combinations(
                 genotypes, marginals, cap, hom_ref_gidx)]
-        joint_scores = np.empty(len(combos))
-        prior_cache: dict[tuple, float] = {}
+        combo_arr = np.asarray(combos)                     # (C, S)
+        lik_mat = np.stack([l.log_likelihoods for l in latents])  # (S, G)
+        lik_sum = lik_mat[np.arange(n_samples)[None, :],
+                          combo_arr].sum(axis=1)           # (C,)
         independent_priors = getattr(self.config,
                                      "use_independent_genotype_priors", False)
-        for ci, combo in enumerate(combos):
-            if independent_priors:
-                # --use-independent-genotype-priors: per-sample genotype
-                # priors instead of the shared-haplotype population prior
-                # (cli.md:1157-1163; population caller prior model switch)
-                lp = sum(latents[s].log_priors[g] for s, g in enumerate(combo))
-            else:
-                # joint prior: coalescent over the union of haplotypes across
-                # samples (captures shared variation); likelihoods independent
-                hap_union = tuple(sorted(set(int(h) for g in combo
-                                             for h in genotypes[g])))
-                lp = prior_cache.get(hap_union)
-                if lp is None:
-                    lp = ctx.prior_model.evaluate_indices(np.asarray(hap_union))
-                    prior_cache[hap_union] = lp
-            joint_scores[ci] = lp + sum(
-                latents[s].log_likelihoods[g] for s, g in enumerate(combo))
+        if independent_priors:
+            # --use-independent-genotype-priors: per-sample genotype priors
+            # instead of the shared-haplotype population prior
+            # (cli.md:1157-1163; population caller prior model switch)
+            prior_mat = np.stack([l.log_priors for l in latents])
+            prior_vec = prior_mat[np.arange(n_samples)[None, :],
+                                  combo_arr].sum(axis=1)
+        else:
+            # joint prior: coalescent over the union of haplotypes across
+            # samples (captures shared variation); likelihoods independent.
+            # Vectorised: union masks per combo, prior per UNIQUE union.
+            H = len(ctx.haplotypes)
+            hap_of_g = np.zeros((G, H), dtype=bool)
+            np.put_along_axis(hap_of_g, genotypes, True, axis=1)
+            union = hap_of_g[combo_arr].any(axis=1)        # (C, H)
+            uniq, inverse = np.unique(union, axis=0, return_inverse=True)
+            uniq_priors = np.asarray([
+                ctx.prior_model.evaluate_indices(np.flatnonzero(u))
+                for u in uniq])
+            prior_vec = uniq_priors[inverse]
+        joint_scores = prior_vec + lik_sum
         joint_scores -= logsumexp(joint_scores)
         joint_post = np.exp(joint_scores)
         map_combo = combos[int(np.argmax(joint_scores))]
         map_gts = [genotypes[g] for g in map_combo]
-        combo_arr = np.asarray(combos)                     # (C, S)
         called = []
         for vi, v in enumerate(ctx.variants):
             g_has = ctx.contains[vi][genotypes].any(axis=1)   # (G,)
