@@ -1801,7 +1801,174 @@ static PyObject* flank_banded_scores(PyObject*, PyObject* args) {
     return result;
 }
 
+
+// ---------------------------------------------------------------------------
+// Per-site read support/mismatch statistics for the CSR measures
+// (mirrors octopus_tpu/core/csr/measures.py _read_supports /
+// _read_mismatches bit-for-bit; the python implementations remain the
+// golden fallback).  Cigar ops: 0=M 1=I 2=D 3=N 4=S 5=H 6=P 7=EQ 8=X.
+// ---------------------------------------------------------------------------
+
+static bool rotations_equal(const uint8_t* a, const uint8_t* b, int64_t n) {
+    if (n == 0) return true;
+    for (int64_t s = 0; s < n; ++s) {
+        bool ok = true;
+        for (int64_t i = 0; i < n; ++i) {
+            if (a[i] != b[(i + s) % n]) { ok = false; break; }
+        }
+        if (ok) return true;
+    }
+    return false;
+}
+
+static PyObject* site_read_stats(PyObject*, PyObject* args) {
+    Py_buffer beg_b, seq_b, qual_b, soff_b, cig_b, coff_b, ref_b, alt_b;
+    long long begin, end, ref_begin;
+    int is_ins, is_del, shift_max, have_ref;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*Ly*LLiii",
+                          &beg_b, &seq_b, &qual_b, &soff_b, &cig_b, &coff_b,
+                          &ref_b, &ref_begin, &alt_b, &begin, &end,
+                          &is_ins, &is_del, &shift_max))
+        return nullptr;
+    have_ref = ref_b.len > 0;
+    const int64_t* begins = (const int64_t*)beg_b.buf;
+    const uint8_t* seq = (const uint8_t*)seq_b.buf;
+    const uint8_t* quals = (const uint8_t*)qual_b.buf;
+    const int64_t* soff = (const int64_t*)soff_b.buf;
+    const int32_t* cig = (const int32_t*)cig_b.buf;
+    const int64_t* coff = (const int64_t*)coff_b.buf;
+    const uint8_t* ref = (const uint8_t*)ref_b.buf;
+    const Py_ssize_t ref_n = ref_b.len;
+    const uint8_t* alt = (const uint8_t*)alt_b.buf;
+    const int64_t alt_n = alt_b.len;
+    const Py_ssize_t n = beg_b.len / (Py_ssize_t)sizeof(int64_t);
+
+    // outputs: sup(i8), bq(i16, -1 none), off(i32, -1 none), mism(i32),
+    // clipped(i8)
+    PyObject* sup_o = PyBytes_FromStringAndSize(nullptr, n);
+    PyObject* bq_o = PyBytes_FromStringAndSize(nullptr, n * 2);
+    PyObject* off_o = PyBytes_FromStringAndSize(nullptr, n * 4);
+    PyObject* mism_o = PyBytes_FromStringAndSize(nullptr, n * 4);
+    PyObject* clip_o = PyBytes_FromStringAndSize(nullptr, n);
+    if (!sup_o || !bq_o || !off_o || !mism_o || !clip_o) return nullptr;
+    int8_t* sup = (int8_t*)PyBytes_AS_STRING(sup_o);
+    int16_t* bq = (int16_t*)PyBytes_AS_STRING(bq_o);
+    int32_t* off_out = (int32_t*)PyBytes_AS_STRING(off_o);
+    int32_t* mism_out = (int32_t*)PyBytes_AS_STRING(mism_o);
+    int8_t* clip = (int8_t*)PyBytes_AS_STRING(clip_o);
+
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t r = 0; r < n; ++r) {
+        const uint8_t* rs = seq + soff[r];
+        const uint8_t* rq = quals + soff[r];
+        int64_t pos = begins[r];
+        int64_t q = 0;
+        int s_res = 0;
+        int16_t bq_res = -1;
+        int32_t off_res = -1;
+        bool decided = false;
+        int32_t mism = 0;
+        int8_t clipped = 0;
+        for (int64_t c = coff[r]; c < coff[r + 1]; ++c) {
+            const int32_t length = cig[2 * c];
+            const int32_t op = cig[2 * c + 1];
+            switch (op) {
+            case 0: case 7: case 8: {          // M, EQ, X
+                if (have_ref) {                // mismatch count vs reference
+                    const int64_t lo = pos - ref_begin;
+                    const int64_t r0 = lo > 0 ? lo : 0;
+                    const int64_t r1 = (lo + length) < ref_n ? (lo + length)
+                                                             : ref_n;
+                    const int64_t skip = lo < 0 ? -lo : 0;
+                    const int64_t cnt = r1 - r0;
+                    for (int64_t i = 0; i < cnt; ++i) {
+                        if (ref[r0 + i] != rs[q + skip + i]) ++mism;
+                    }
+                }
+                if (!decided && !is_ins && !is_del && pos <= begin
+                        && begin + alt_n <= pos + length) {
+                    const int64_t o = q + (begin - pos);
+                    bool eq = true;
+                    for (int64_t i = 0; i < alt_n; ++i) {
+                        if (rs[o + i] != alt[i]) { eq = false; break; }
+                    }
+                    if (eq) {
+                        s_res = 1;
+                        int16_t mn = 32767;
+                        for (int64_t i = 0; i < alt_n; ++i) {
+                            if (rq[o + i] < mn) mn = (int16_t)rq[o + i];
+                        }
+                        bq_res = alt_n ? mn : -1;
+                        off_res = (int32_t)o;
+                    }
+                    decided = true;            // SNV path decides either way
+                }
+                pos += length;
+                q += length;
+                break;
+            }
+            case 1:                            // I
+                mism += length;
+                if (!decided && is_ins && begin <= pos
+                        && pos <= begin + shift_max && length == alt_n) {
+                    if (rotations_equal(rs + q, alt, length)) {
+                        s_res = 1;
+                        int16_t mn = 32767;
+                        for (int64_t i = 0; i < length; ++i) {
+                            if (rq[q + i] < mn) mn = (int16_t)rq[q + i];
+                        }
+                        bq_res = length ? mn : -1;
+                        off_res = (int32_t)q;
+                        decided = true;
+                    }
+                }
+                q += length;
+                break;
+            case 2:                            // D
+                mism += length;
+                if (!decided && is_del && begin <= pos
+                        && pos <= begin + shift_max && length == end - begin) {
+                    s_res = 1;
+                    bq_res = -1;
+                    off_res = (int32_t)q;
+                    decided = true;
+                }
+                pos += length;
+                break;
+            case 4:                            // S
+                clipped = 1;
+                q += length;
+                break;
+            case 5:                            // H (not counted as clip:
+                break;                     // measures.py counts S only)
+            case 3: case 6:                    // N, P (measures.py parity)
+                pos += length;
+                break;
+            default:
+                break;
+            }
+        }
+        sup[r] = (int8_t)s_res;
+        bq[r] = bq_res;
+        off_out[r] = off_res;
+        mism_out[r] = have_ref ? mism : 0;
+        clip[r] = clipped;
+    }
+    Py_END_ALLOW_THREADS
+
+    PyBuffer_Release(&beg_b); PyBuffer_Release(&seq_b);
+    PyBuffer_Release(&qual_b); PyBuffer_Release(&soff_b);
+    PyBuffer_Release(&cig_b); PyBuffer_Release(&coff_b);
+    PyBuffer_Release(&ref_b); PyBuffer_Release(&alt_b);
+    PyObject* tup = PyTuple_Pack(5, sup_o, bq_o, off_o, mism_o, clip_o);
+    Py_DECREF(sup_o); Py_DECREF(bq_o); Py_DECREF(off_o);
+    Py_DECREF(mism_o); Py_DECREF(clip_o);
+    return tup;
+}
+
 static PyMethodDef methods[] = {
+    {"site_read_stats", site_read_stats, METH_VARARGS,
+     "Per-read site support/bq/offset/mismatch/clip stats for measures."},
     {"flank_banded_scores", flank_banded_scores, METH_VARARGS,
      "Batched banded align + flank-score discount -> int32-le scores."},
     {"count_runs", count_runs, METH_VARARGS,

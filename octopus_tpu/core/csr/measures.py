@@ -16,6 +16,7 @@ provides the HMM-assignment refinement where callers need it.
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 from dataclasses import dataclass, field
@@ -37,6 +38,11 @@ from ...basics.reads import (
     ReadBatch,
 )
 from ...basics import cigar as cg
+
+try:  # native whole-batch site stats (octopus_native.cpp:site_read_stats)
+    from octopus_tpu import _native
+except ImportError:  # pragma: no cover
+    _native = None
 
 #: every measure key this module can emit (the reference's 56-measure set)
 ALL_MEASURES = (
@@ -222,6 +228,25 @@ def site_context(batch: ReadBatch, begin: int, end: int, alt_codes: np.ndarray,
     ctx.read_lengths = lens.tolist()
     shift_max = _equiv_shift_max(ref_codes, ref_begin, begin, end, alt_codes,
                                  is_insertion, is_deletion)
+    stats = _native_site_stats(over, begin, end, alt_codes, is_insertion,
+                               is_deletion, shift_max, ref_codes, ref_begin)
+    if stats is not None:
+        sup_a, bq_a, off_a, mism_a, clip_a = stats
+        ctx.mismatch_counts = mism_a.tolist()
+        ctx.misaligned = int((mism_a >= 6).sum())
+        ctx.clipped = int(clip_a.sum())
+        alt_sel = sup_a.astype(bool)
+        ctx.alt_depth = int(alt_sel.sum())
+        ctx.alt_mapping_qualities = mq[alt_sel].tolist()
+        ctx.alt_mismatch_counts = mism_a[alt_sel].tolist()
+        ctx.alt_base_qualities = bq_a[alt_sel & (bq_a >= 0)].tolist()
+        off_sel = alt_sel & (off_a >= 0) & (lens > 0)
+        ctx.alt_offsets = list(zip(off_a[off_sel].tolist(),
+                                   lens[off_sel].tolist()))
+        ctx.alt_reverse = int((alt_sel & is_rev).sum())
+        ctx.alt_forward = int((alt_sel & ~is_rev).sum())
+        ctx.dup_alt = int((alt_sel & ((flags & FLAG_DUPLICATE) != 0)).sum())
+        return ctx
     for i in range(n):
         sup, bq, off = _read_supports(over, i, begin, end, alt_codes,
                                       is_insertion, is_deletion, shift_max)
@@ -249,6 +274,35 @@ def site_context(batch: ReadBatch, begin: int, end: int, alt_codes: np.ndarray,
     return ctx
 
 
+def _native_site_stats(over: ReadBatch, begin, end, alt_codes, is_ins,
+                       is_del, shift_max, ref_codes, ref_begin):
+    """Whole-batch per-read support/mismatch stats via the C++ extension
+    (native/octopus_native.cpp:site_read_stats, bit-identical to the
+    python loop above, which remains the golden fallback)."""
+    if _native is None:
+        return None
+    n = len(over)
+    ref_bytes = (np.ascontiguousarray(ref_codes, dtype=np.uint8).tobytes()
+                 if ref_codes is not None else b"")
+    raw = _native.site_read_stats(
+        np.ascontiguousarray(over.begins, np.int64).tobytes(),
+        np.ascontiguousarray(over.seq, np.uint8).tobytes(),
+        np.ascontiguousarray(over.quals, np.uint8).tobytes(),
+        np.ascontiguousarray(over.seq_offsets, np.int64).tobytes(),
+        np.ascontiguousarray(over.cigar_ops, np.int32).tobytes(),
+        np.ascontiguousarray(over.cigar_offsets, np.int64).tobytes(),
+        ref_bytes, int(ref_begin),
+        np.ascontiguousarray(alt_codes, np.uint8).tobytes(),
+        int(begin), int(end), int(bool(is_ins)), int(bool(is_del)),
+        int(shift_max))
+    sup_a = np.frombuffer(raw[0], dtype=np.int8, count=n)
+    bq_a = np.frombuffer(raw[1], dtype=np.int16, count=n)
+    off_a = np.frombuffer(raw[2], dtype=np.int32, count=n)
+    mism_a = np.frombuffer(raw[3], dtype=np.int32, count=n)
+    clip_a = np.frombuffer(raw[4], dtype=np.int8, count=n)
+    return sup_a, bq_a, off_a, mism_a, clip_a
+
+
 def _tail_bias(offsets: list, tail_frac: float = 0.03) -> float:
     """Fraction of alt observations falling in the 3' read tail."""
     if not offsets:
@@ -265,6 +319,10 @@ def _end_bias(offsets: list, end_frac: float = 0.1) -> float:
     return near / len(offsets)
 
 
+_SB_GRID = np.linspace(0.0, 1.0, 513)
+
+
+@functools.lru_cache(maxsize=65536)
 def _strand_bias_prob(f1: int, r1: int, f2: int, r2: int,
                       min_diff: float = 0.25) -> float:
     """P(|p1 - p2| > min_diff) for p_i ~ Beta(f_i + 1, r_i + 1).
@@ -272,13 +330,24 @@ def _strand_bias_prob(f1: int, r1: int, f2: int, r2: int,
     Deterministic grid integration replacing the reference's Monte-Carlo
     resampling (strand_bias.cpp sample_beta with +1 direction priors):
     integral of pdf1(x) * [cdf2(x - d) + 1 - cdf2(x + d)] dx.
+    Function-form scipy calls (frozen-distribution construction costs more
+    than the integration itself) + memoised on the small-count tuples.
     """
-    b1 = sps.beta(f1 + 1, r1 + 1)
-    b2 = sps.beta(f2 + 1, r2 + 1)
-    x = np.linspace(0.0, 1.0, 513)
-    pdf1 = b1.pdf(x)
-    tail = b2.cdf(x - min_diff) + b2.sf(x + min_diff)
+    x = _SB_GRID
+    pdf1 = sps.beta.pdf(x, f1 + 1, r1 + 1)
+    tail = (sps.beta.cdf(x - min_diff, f2 + 1, r2 + 1)
+            + sps.beta.sf(x + min_diff, f2 + 1, r2 + 1))
     return float(min(max(np.trapezoid(pdf1 * tail, x), 0.0), 1.0))
+
+
+@functools.lru_cache(maxsize=65536)
+def _strand_diseq(fwd: int, depth: int) -> float:
+    """Two-sided exact binomial(0.5) deviation probability: at p = 0.5 the
+    distribution is symmetric, so the minlike two-sided p-value equals
+    2*min(cdf(k), sf(k-1)) capped at 1."""
+    p = 2.0 * min(sps.binom.cdf(fwd, depth, 0.5),
+                  sps.binom.sf(fwd - 1, depth, 0.5))
+    return 1.0 - min(p, 1.0)
 
 
 def _side_bias(offsets: list) -> float:
@@ -357,10 +426,7 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     else:
         out["SB"] = None
     # strand disequilibrium of the whole pileup (binomial two-sided)
-    if depth:
-        out["SD"] = 1.0 - sps.binomtest(ctx.fwd_depth, depth, 0.5).pvalue
-    else:
-        out["SD"] = 0.0
+    out["SD"] = _strand_diseq(ctx.fwd_depth, depth) if depth else 0.0
     # multi-sample: allele-support measures per carrier sample, min-tail
     if (reads_by_sample is not None and call.genotypes
             and len(call.genotypes) > 1):

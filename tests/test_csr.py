@@ -263,3 +263,69 @@ def test_beam_dedups_equivalent_haplotypes():
     seqs = {h.sequence.tobytes() for h in haps}
     assert len(seqs) == len(haps)       # no sequence-identical pair
     assert len(haps) == 3               # ref, single-del, double-del
+
+
+class TestNativeSiteStats:
+    """native site_read_stats is bit-identical to the python golden loop
+    (_read_supports/_read_mismatches) across random SNV/ins/del scenes."""
+
+    def _random_scene(self, seed, kind):
+        from octopus_tpu.basics.sequence import encode_sequence
+        rng = np.random.default_rng(seed)
+        n = 600
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        ref = encode_sequence(seq)
+        reads = []
+        for i in range(120):
+            b = int(rng.integers(0, n - 120))
+            L = int(rng.integers(60, 110))
+            s = list(seq[b:b + L])
+            cig = f"{L}M"
+            if rng.random() < 0.4:      # random errors
+                for _ in range(int(rng.integers(1, 4))):
+                    j = int(rng.integers(0, L))
+                    s[j] = "ACGT"[rng.integers(0, 4)]
+            if rng.random() < 0.3:      # soft clip
+                k = int(rng.integers(3, 10))
+                cig = f"{k}S{L - k}M"
+            if rng.random() < 0.3:      # embedded indel
+                k = int(rng.integers(5, L - 10))
+                if rng.random() < 0.5:
+                    cig = f"{k}M2I{L - k - 2}M"
+                else:
+                    cig = f"{k}M2D{L - k}M"
+            reads.append((b, cig, "".join(s),
+                          list(rng.integers(10, 40, L)), 60,
+                          FLAG_REVERSE if i % 2 else 0))
+        batch = make_read_batch("chr1", reads).sorted_by_begin()
+        pos = 300
+        if kind == "snv":
+            alt = np.asarray([(ref[pos] + 1) % 4], np.uint8)
+            return batch, ref, pos, pos + 1, alt, False, False
+        if kind == "ins":
+            return batch, ref, pos, pos, np.asarray([0, 1], np.uint8), True, False
+        return batch, ref, pos, pos + 2, ref[pos:pos + 2], False, True
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    @pytest.mark.parametrize("kind", ["snv", "ins", "del"])
+    def test_native_matches_python(self, seed, kind):
+        from octopus_tpu.core.csr import measures as M
+        if M._native is None:
+            pytest.skip("native extension unavailable")
+        batch, ref, b, e, alt, is_ins, is_del = self._random_scene(seed, kind)
+        native_ctx = M.site_context(batch, b, e, alt, is_ins, is_del,
+                                    ref_codes=ref, ref_begin=0)
+        saved = M._native
+        M._native = None
+        try:
+            py_ctx = M.site_context(batch, b, e, alt, is_ins, is_del,
+                                    ref_codes=ref, ref_begin=0)
+        finally:
+            M._native = saved
+        for f in ("depth", "alt_depth", "alt_forward", "alt_reverse",
+                  "clipped", "misaligned", "dup_alt"):
+            assert getattr(native_ctx, f) == getattr(py_ctx, f), (f, kind)
+        assert native_ctx.mismatch_counts == py_ctx.mismatch_counts
+        assert native_ctx.alt_base_qualities == py_ctx.alt_base_qualities
+        assert native_ctx.alt_offsets == py_ctx.alt_offsets
+        assert native_ctx.alt_mapping_qualities == py_ctx.alt_mapping_qualities
