@@ -33,7 +33,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ...utils.tandem import extract_exact_tandem_repeats
 
 _TABLES_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))), "resources",
@@ -110,20 +109,24 @@ class ContextIndelModel:
         self.gap_extend = np.broadcast_to(cell_extend[0, 0], (n, L)).copy()
         self.period = np.zeros(n, np.int32)
         self.num_periods = np.zeros(n, np.int32)
-        for r in extract_exact_tandem_repeats(ref_codes, 1,
-                                              min(params.max_period, 5)):
-            num = r.length // r.period
+        from ...utils.tandem import extract_exact_tandem_repeats_arrays
+        reps = extract_exact_tandem_repeats_arrays(
+            ref_codes, 1, min(params.max_period, 5))
+        for pos0, length, per in reps:
+            num = int(length) // int(per)
             if num < 1:
                 continue
             num = min(num, params.max_periodicity)
-            open_p = cell_open[r.period, num]
+            open_p = cell_open[per, num]
             # only the first period of the tract carries the enriched state
-            for pos in range(r.pos, min(r.pos + r.period, n)):
-                if self.gap_open[pos] < open_p:
-                    self.gap_open[pos] = open_p
-                    self.gap_extend[pos] = cell_extend[r.period, num]
-                    self.period[pos] = r.period
-                    self.num_periods[pos] = num
+            lo, hi = int(pos0), min(int(pos0) + int(per), n)
+            upd = self.gap_open[lo:hi] < open_p
+            if upd.any():
+                idx = np.flatnonzero(upd) + lo
+                self.gap_open[idx] = open_p
+                self.gap_extend[idx] = cell_extend[per, num]
+                self.period[idx] = per
+                self.num_periods[idx] = num
 
     def indel_probability(self, pos: int, length: int) -> float:
         """P(indel of `length` bases at `pos`) = open * prod extensions."""

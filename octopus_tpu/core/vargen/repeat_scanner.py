@@ -45,10 +45,24 @@ class RepeatScanner:
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         out: dict[Variant, int] = {}
         depth_of: dict[tuple[int, int], int] = {}
+        # only reads whose CIGAR carries an indel can propose here; filter
+        # once up front (typically a few % of reads) before the per-repeat
+        # python walks
+        has_id = (batch.cigar_ops[:, 1] == cg.I) | (batch.cigar_ops[:, 1] == cg.D)
+        if len(batch.cigar_offsets) > 1:
+            per_read = np.add.reduceat(
+                np.concatenate([has_id.astype(np.int64), [0]]),
+                np.minimum(batch.cigar_offsets[:-1], len(has_id)))
+            # reads with empty cigars alias the next read's slot; mask them
+            empty = np.diff(batch.cigar_offsets) == 0
+            per_read = np.where(empty, 0, per_read[:len(batch)])
+            indel_reads = batch.take(np.flatnonzero(per_read > 0))
+        else:
+            indel_reads = batch
         for r in repeats:
             tract = (begin + r.pos, begin + r.pos + r.length)
-            over = batch.overlapping(*tract)
-            depth_of[tract] = len(over)
+            depth_of[tract] = len(batch.overlapping(*tract))
+            over = indel_reads.overlapping(*tract)
             for i in range(len(over)):
                 pos = int(over.begins[i])
                 q = 0

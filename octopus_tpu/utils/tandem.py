@@ -129,6 +129,22 @@ def _is_primitive(motif: np.ndarray) -> bool:
     return True
 
 
+def extract_exact_tandem_repeats_arrays(
+    codes: np.ndarray, min_period: int = 1, max_period: int = 3
+) -> np.ndarray:
+    """(n, 3) int32 [pos, length, period] rows, sorted by position —
+    the array form of extract_exact_tandem_repeats (no object churn for
+    hot consumers)."""
+    if _native is not None:
+        raw = _native.tandem_repeats(
+            np.ascontiguousarray(codes, dtype=np.uint8).tobytes(),
+            int(min_period), int(max_period))
+        return np.frombuffer(raw, dtype=np.int32).reshape(-1, 3)
+    reps = extract_exact_tandem_repeats(codes, min_period, max_period)
+    return np.asarray([[r.pos, r.length, r.period] for r in reps],
+                      dtype=np.int32).reshape(-1, 3)
+
+
 def extract_exact_tandem_repeats(
     codes: np.ndarray, min_period: int = 1, max_period: int = 3
 ) -> list[Repeat]:
@@ -152,4 +168,5 @@ def extract_exact_tandem_repeats(
     return out
 
 
-__all__ = ["Repeat", "extract_exact_tandem_repeats", "find_homopolymers"]
+__all__ = ["Repeat", "extract_exact_tandem_repeats",
+           "extract_exact_tandem_repeats_arrays", "find_homopolymers"]
