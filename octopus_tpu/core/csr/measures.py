@@ -582,18 +582,20 @@ def _apply_facet_measures(out: dict, call, v, facets) -> None:
 def _str_context(ref_codes, ref_begin: int, pos: int,
                  max_period: int = 6, window: int = 50):
     """(tract length, period) of the tandem repeat at the site, 0/0 if none."""
-    from ...utils.tandem import extract_exact_tandem_repeats
+    from ...utils.tandem import extract_exact_tandem_repeats_arrays
     lo = max(pos - ref_begin - window, 0)
     hi = min(pos - ref_begin + window, len(ref_codes))
     seg = ref_codes[lo:hi]
     if not len(seg):
         return 0, 0
     best_len, best_period = 0, 0
-    for r in extract_exact_tandem_repeats(np.asarray(seg, np.uint8), 1, max_period):
-        tract_begin = ref_begin + lo + r.pos
-        tract_end = tract_begin + r.length
-        if tract_begin - 1 <= pos <= tract_end + 1 and r.length > best_len:
-            best_len, best_period = r.length, r.period
+    reps = extract_exact_tandem_repeats_arrays(np.asarray(seg, np.uint8), 1,
+                                               max_period)
+    for rpos, rlen, rper in reps:
+        tract_begin = ref_begin + lo + int(rpos)
+        tract_end = tract_begin + int(rlen)
+        if tract_begin - 1 <= pos <= tract_end + 1 and rlen > best_len:
+            best_len, best_period = int(rlen), int(rper)
     return best_len, best_period
 
 

@@ -27,7 +27,7 @@ from math import comb, inf, log
 
 import numpy as np
 
-from ...utils.tandem import extract_exact_tandem_repeats
+from ...utils.tandem import extract_exact_tandem_repeats_arrays
 from ..types.haplotypes import Haplotype
 from ..types.variants import Variant
 
@@ -93,10 +93,11 @@ class CoalescentModel:
         self.params = params or CoalescentParams()
         self.reference = reference_haplotype
         ref_codes = reference_haplotype.sequence
-        self._repeats = extract_exact_tandem_repeats(ref_codes, 1, 5)
-        self._repeat_intervals = np.asarray(
-            [(r.pos, r.pos + r.length) for r in self._repeats], np.int64
-        ).reshape(-1, 2)
+        reps = extract_exact_tandem_repeats_arrays(ref_codes, 1, 5)
+        self._repeat_intervals = np.stack(
+            [reps[:, 0], reps[:, 0] + reps[:, 1]],
+            axis=1).astype(np.int64) if len(reps) else \
+            np.zeros((0, 2), np.int64)
         from .indel_mutation import ContextIndelModel, IndelMutationParams
         self._context_model = ContextIndelModel(
             ref_codes,
