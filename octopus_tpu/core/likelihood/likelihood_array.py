@@ -103,7 +103,13 @@ class LikelihoodConfig:
     """Mirrors HaplotypeLikelihoodModel::Config (haplotype_likelihood_model.hpp:36-44)."""
 
     use_mapping_quality: bool = True
-    mapping_quality_cap: int = 120
+    # None = auto from the read data (calculate_mapping_quality_cap /
+    # _trigger, option_collation.cpp:1635-1659): cap 240 for long reads
+    # (median length > 1000), 120 for >200, else max observed MQ;
+    # trigger = max observed MQ (floored at the BWA cap 60).  Without the
+    # trigger, long noisy reads saturate the mismap floor and genotype
+    # discrimination collapses.
+    mapping_quality_cap: int | None = None
     mapping_quality_cap_trigger: int | None = None
     use_flank_state: bool = True
     # --max-indel-errors: band-size ceiling (reference default 16,
@@ -334,9 +340,9 @@ class HaplotypeLikelihoodArray:
         # mapping-quality mixture + clamp
         if self.config.use_mapping_quality:
             mq = batch.mapq.astype(np.float64)
-            trig = self.config.mapping_quality_cap_trigger
-            if trig is not None and trig < self.config.mapping_quality_cap:
-                mq = np.where(mq >= trig, self.config.mapping_quality_cap, mq)
+            cap, trig = self._mq_cap_and_trigger(batch)
+            if trig is not None and trig < cap:
+                mq = np.where(mq >= trig, cap, mq)
             ln_miss = -LN10_DIV_10 * mq
             ln_mapped = np.log1p(-np.exp(ln_miss))
             a = ln_mapped[None, :] + out
@@ -345,6 +351,29 @@ class HaplotypeLikelihoodArray:
             out = hi + np.log1p(np.exp(lo - hi))
         out[out > -1e-15] = 0.0
         return out
+
+    def _mq_cap_and_trigger(self, batch):
+        """Profile-driven mapping-quality cap + trigger
+        (calculate_mapping_quality_cap/_trigger,
+        option_collation.cpp:1635-1659): explicit config values win;
+        otherwise derive from this batch's reads (the per-window analogue
+        of the reference's up-front ReadSetProfile)."""
+        cap = self.config.mapping_quality_cap
+        trig = self.config.mapping_quality_cap_trigger
+        if cap is not None and trig is not None:
+            return cap, trig
+        max_mq = int(batch.mapq.max()) if len(batch) else 60
+        if trig is None:
+            trig = max(max_mq, 60)
+        if cap is None:
+            median_len = float(np.median(batch.lengths())) if len(batch) else 0
+            if median_len > 1000:
+                cap = 240
+            elif median_len > 200:
+                cap = 120
+            else:
+                cap = max(max_mq, 60)
+        return cap, trig
 
     def _eval_jobs_fixed_len(self, batch, haplotypes, penalties, L,
                              job_hap, job_read, job_pos, job_lens,
