@@ -292,16 +292,22 @@ class HaplotypeLikelihoodArray:
                 orig = int(original[r])
                 if orig not in cand:
                     cand = np.concatenate((cand, [orig]))
-                in_range = cand[(cand >= pad) & (cand + lens[r] + pad <= hap_len)]
+                # the band needs pad bases of LEFT window slack; the RIGHT
+                # side may overrun the haplotype end — _device_scores
+                # neutral-fills overflow cells (N bases, stiff gaps), so a
+                # read ending at the haplotype (= contig) end still scores
+                # its true alignment instead of being anchor-shifted out of
+                # band (which floored every read at the mismap cap)
+                in_range = cand[(cand >= pad) & (cand + lens[r] <= hap_len)]
                 if len(in_range) == 0:
                     # shift the original position minimally into range
                     pos = orig
                     if pos < pad:
                         pos = pad
-                    over = pos + int(lens[r]) + pad - hap_len
+                    over = pos + int(lens[r]) - hap_len
                     if over > 0:
                         pos -= over
-                    if pos < pad or pos + int(lens[r]) + pad > hap_len:
+                    if pos < pad or pos + int(lens[r]) > hap_len:
                         raise ShortHaplotypeError(
                             f"haplotype {h} too short for read {r} "
                             f"(len {lens[r]}, hap {hap_len})"
