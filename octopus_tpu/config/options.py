@@ -94,9 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     io.add_argument("--sites-only", action="store_true",
                     help="omit genotype (FORMAT/sample) columns")
     io.add_argument("-T", "--regions", nargs="*")
-    io.add_argument("--regions-file")
+    io.add_argument("-t", "--regions-file")
     io.add_argument("-K", "--skip-regions", nargs="*")
-    io.add_argument("--skip-regions-file")
+    io.add_argument("-k", "--skip-regions-file")
     io.add_argument("--one-based-indexing", action="store_true")
     io.add_argument("--ignore-unmapped-contigs", action="store_true")
     io.add_argument("-S", "--samples", nargs="*",
