@@ -153,11 +153,13 @@ def load_ranger_forest(path: str) -> Forest:
         tp_idx = int(np.flatnonzero(class_values == 1.0)[0])
     except IndexError:
         tp_idx = int(np.argmax(class_values))
+    # float64 thresholds/values: ranger serialises doubles, and a float32
+    # round could flip an X <= threshold comparison at a split boundary
     feature = np.full((num_trees, max_nodes), -1, np.int32)
-    threshold = np.zeros((num_trees, max_nodes), np.float32)
+    threshold = np.zeros((num_trees, max_nodes), np.float64)
     left = np.zeros((num_trees, max_nodes), np.int32)
     right = np.zeros((num_trees, max_nodes), np.int32)
-    value = np.zeros((num_trees, max_nodes), np.float32)
+    value = np.zeros((num_trees, max_nodes), np.float64)
     for t, (child, split_var, split_val, tnodes, tcounts) in enumerate(trees):
         n = len(split_var)
         lc, rc = child[0][:n], child[1][:n]
