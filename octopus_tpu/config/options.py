@@ -242,8 +242,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["LOW", "NORMAL", "HIGH", "UNLIMITED"])
     caller.add_argument("--use-preprocessed-reads-for-filtering", action="store_true")
     caller.add_argument("--regenotype", default=None,
-                        help="accepted for parity; a stub in the reference too "
-                             "(caller.cpp:211-214)")
+                        help="NOT SUPPORTED (a stub in the reference too, "
+                             "caller.cpp:211-214); errors if set")
 
     cancer = p.add_argument_group("cancer calling")
     cancer.add_argument("-N", "--normal-samples", nargs="*")
@@ -276,7 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
     cell.add_argument("--max-copy-loss", type=int, default=0)
     cell.add_argument("--max-copy-gain", type=int, default=0)
     cell.add_argument("--dropout-concentration", type=float, default=5.0)
-    cell.add_argument("--sample-dropout-concentrations", nargs="*", default=[])
+    cell.add_argument("--sample-dropout-concentrations", nargs="*", default=[],
+                      help="NOT SUPPORTED in this build; errors if set "
+                           "(use --dropout-concentration)")
     cell.add_argument("--phylogeny-concentration", type=float, default=20.0)
     cell.add_argument("--max-phylogeny-size", type=int, default=3)
 
@@ -303,44 +305,40 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-# Options declared for command-line parity whose backends are not wired yet;
-# collate() warns when one is explicitly set.
+# Flags that are declared for command-line parity but REJECTED when set,
+# because no backend exists (value = the why/help pointer).  The reference's
+# --regenotype is itself a stub (caller.cpp:211-214); the per-cell dropout
+# concentration has no seat in this build's two-level VB factorisation
+# (mixture_mixture_vb.py shares clone haplotype weights across cells).
 #
-# Notes on deliberate near-no-ops (not listed, because behaviour matches):
-# * --aggregate-annotations: measure values are already emitted ALT-
-#   aggregated (min-tail over alleles), which equals the flag's ON
-#   behaviour (variant_call_filter.hpp:47); the flag is accepted.
-# * --regenotype: a stub in the reference too (caller.cpp:211-214).
-# * --sample-dropout-concentrations: the two-level VB here shares clone
-#   haplotype weights across cells (mixture_mixture_vb.py); a per-cell
-#   Dirichlet concentration has no seat in that factorisation (documented
-#   deviation; --dropout-concentration applies to all cells).
-# * --use-same-read-profile-for-all-samples: this engine derives component
-#   parameters directly from each window's reads rather than from an
-#   up-front ReadSetProfile, so the per-sample/shared distinction has no
-#   effect by design.
-# * --use-germline-forest-for-somatic-normals: forest classification here
-#   scores one aggregated measure row per call (min-tail over carrier
-#   samples), not per-sample rows, so there is no separate normal-sample
-#   row to reroute (documented deviation).
-UNWIRED = {
-    "use_same_read_profile_for_all_samples",
-    "use_germline_forest_for_somatic_normals",
-    "regenotype", "sample_dropout_concentrations",
+# Note on a deliberate near-no-op: --aggregate-annotations is accepted
+# silently because measure values are already emitted ALT-aggregated
+# (min-tail over alleles), which equals the flag's ON behaviour
+# (variant_call_filter.hpp:47).
+REJECTED = {
+    "regenotype": (
+        "regenotyping is not implemented (it is also an unfinished stub in "
+        "upstream octopus, caller.cpp:211-214)",
+        "re-call with --source-candidates your.vcf to restrict candidates "
+        "to known sites, which covers the common regenotyping use"),
+    "sample_dropout_concentrations": (
+        "per-sample dropout concentrations have no seat in this build's "
+        "single-cell VB factorisation",
+        "use --dropout-concentration to set one concentration for all "
+        "cells"),
 }
 
 
-def warn_unwired(args) -> list[str]:
+def check_rejected(args) -> None:
+    """Hard-error on flags with no backend (do_help-style pointer)."""
     parser = build_parser()
     defaults = vars(parser.parse_args([]))
-    hit = []
-    for k in sorted(UNWIRED):
+    for k, (why, help_) in sorted(REJECTED.items()):
         if getattr(args, k, None) not in (defaults.get(k), None, False, []):
-            hit.append(k.replace("_", "-"))
-    if hit:
-        print("octopus-tpu: accepted but not yet wired in this build: "
-              + ", ".join("--" + h for h in hit), file=sys.stderr)
-    return hit
+            from ..errors import UserError
+            raise UserError(
+                f"the option --{k.replace('_', '-')} is not supported: {why}",
+                where="options", help=help_)
 
 
 def parse_args_with_config(argv=None):
@@ -387,7 +385,7 @@ def _parse_tag_filters(items: list[str]) -> list[tuple[str, str | None]]:
 
 def collate(args) -> CollatedComponents:
     """Options -> component configs (option_collation.cpp equivalent)."""
-    warn_unwired(args)
+    check_rejected(args)
     use_assembler = not (args.disable_assembly_candidate_generator
                          or args.fast or args.very_fast)
     rp = ReadPipeConfig(
@@ -479,6 +477,10 @@ def collate(args) -> CollatedComponents:
         error_model=args.sequence_error_model,
         use_mapping_quality=not args.dont_model_mapping_quality,
         use_flank_state=not args.disable_inactive_flank_scoring,
+        # --use-same-read-profile-for-all-samples: derive one pooled
+        # MQ-cap/trigger profile per window instead of per sample
+        # (option_collation.cpp:1624-1659 make_unique ReadSetProfile path)
+        shared_read_profile=args.use_same_read_profile_for_all_samples,
     )
     sources = list(args.source_candidates or [])
     for listing in args.source_candidates_file or []:

@@ -65,11 +65,24 @@ class Forest:
 
     @staticmethod
     def load(path: str) -> "Forest":
-        if path.endswith(".forest") or path.endswith(".forest.gz"):
-            return load_ranger_forest(path)
-        z = np.load(path, allow_pickle=False)
-        return Forest(z["feature"], z["threshold"], z["left"], z["right"],
-                      z["value"], [str(m) for m in z["measures"]])
+        from ...errors import MalformedFileError, MissingFileError
+        import os
+        if not os.path.exists(path):
+            raise MissingFileError(path, "forest", where="RandomForestFilter",
+                                   option="--forest-model")
+        try:
+            if path.endswith(".forest") or path.endswith(".forest.gz"):
+                return load_ranger_forest(path)
+            z = np.load(path, allow_pickle=False)
+            return Forest(z["feature"], z["threshold"], z["left"], z["right"],
+                          z["value"], [str(m) for m in z["measures"]])
+        except (ValueError, KeyError, struct.error, EOFError, OSError) as e:
+            # MalformedForestFile (random_forest_filter.cpp:355-360)
+            raise MalformedFileError(
+                path, "forest", detail=str(e), where="RandomForestFilter",
+                help="make sure the file is a ranger .forest/.forest.gz or "
+                     "an octopus-tpu .npz forest, trained with the same "
+                     "measures in the same order as prediction") from None
 
 
 # ---------------------------------------------------------------------------
@@ -287,27 +300,44 @@ class ForestCsr:
     RandomForestFilterFactory path, random_forest_filter.hpp): germline
     calls score with the germline forest, SOMATIC calls with the somatic
     forest when given (somatic_random_forest_filter.hpp), falling back to
-    the germline forest otherwise. Satisfies the same classify() interface
-    as ThresholdFilter plus classify_q() returning the RFGQ quality."""
+    the germline forest otherwise.  Refcall records in a somatic run score
+    with the somatic forest unless --use-germline-forest-for-somatic-normals
+    is set (somatic_random_forest_filter.cpp:28-37's chooser;
+    option_collation.cpp:2374 use_somatic_forest_for_refcalls).  Satisfies
+    the same classify() interface as ThresholdFilter plus classify_q()
+    returning the RFGQ quality."""
 
     def __init__(self, germline_path: str, somatic_path: str | None = None,
-                 min_quality: float = 3.0):
+                 min_quality: float = 3.0,
+                 use_somatic_forest_for_refcalls: bool = True):
         self.germline = RandomForestFilter(Forest.load(germline_path), min_quality)
         self.somatic = (RandomForestFilter(Forest.load(somatic_path), min_quality)
                         if somatic_path else None)
+        self.use_somatic_forest_for_refcalls = use_somatic_forest_for_refcalls
 
     def filter_ids(self) -> list[str]:
         return ["RF"]
 
+    def _choose(self, somatic: bool, refcall: bool) -> RandomForestFilter:
+        if self.somatic is None:
+            return self.germline
+        if somatic:
+            return self.somatic
+        if refcall and self.use_somatic_forest_for_refcalls:
+            return self.somatic
+        return self.germline
+
     def classify_q(self, measures: dict, somatic: bool = False,
-                   denovo: bool = False) -> tuple[list[str], float]:
-        rf = self.somatic if (somatic and self.somatic is not None) else self.germline
+                   denovo: bool = False,
+                   refcall: bool = False) -> tuple[list[str], float]:
+        rf = self._choose(somatic, refcall)
         rfgq, fails = rf.classify([measures])
         return fails[0], float(rfgq[0])
 
     def classify(self, measures: dict, somatic: bool = False,
-                 denovo: bool = False) -> list[str]:
-        return self.classify_q(measures, somatic=somatic, denovo=denovo)[0]
+                 denovo: bool = False, refcall: bool = False) -> list[str]:
+        return self.classify_q(measures, somatic=somatic, denovo=denovo,
+                               refcall=refcall)[0]
 
 
 __all__ = ["Forest", "train_forest", "RandomForestFilter", "ForestCsr"]

@@ -111,6 +111,10 @@ class LikelihoodConfig:
     # discrimination collapses.
     mapping_quality_cap: int | None = None
     mapping_quality_cap_trigger: int | None = None
+    # --use-same-read-profile-for-all-samples: derive ONE pooled cap/trigger
+    # per populate() from all samples' reads instead of per sample
+    # (option_collation.cpp:1624-1659: the shared ReadSetProfile path)
+    shared_read_profile: bool = False
     use_flank_state: bool = True
     # --max-indel-errors: band-size ceiling (reference default 16,
     # option_parser.cpp:579-581); actual band per context via select_band
@@ -197,6 +201,13 @@ class HaplotypeLikelihoodArray:
                                                      flank_state.rhs_flank)
             hap_keys = [(haplotype_begin, len(h),
                          zlib.crc32(h.tobytes()), fk, pad) for h in haplotypes]
+        self._pooled_cap_trig = None
+        if cfg.shared_read_profile and cfg.use_mapping_quality:
+            self._pooled_cap_trig = self._derive_cap_and_trigger(
+                np.concatenate([b.mapq for b in reads_by_sample])
+                if any(len(b) for b in reads_by_sample) else np.zeros(0),
+                np.concatenate([b.lengths() for b in reads_by_sample])
+                if any(len(b) for b in reads_by_sample) else np.zeros(0))
         self.likelihoods = []
         for batch in reads_by_sample:
             self.likelihoods.append(
@@ -363,22 +374,33 @@ class HaplotypeLikelihoodArray:
         (calculate_mapping_quality_cap/_trigger,
         option_collation.cpp:1635-1659): explicit config values win;
         otherwise derive from this batch's reads (the per-window analogue
-        of the reference's up-front ReadSetProfile)."""
+        of the reference's up-front ReadSetProfile), or from the pooled
+        all-sample profile under --use-same-read-profile-for-all-samples."""
         cap = self.config.mapping_quality_cap
         trig = self.config.mapping_quality_cap_trigger
         if cap is not None and trig is not None:
             return cap, trig
-        max_mq = int(batch.mapq.max()) if len(batch) else 60
-        if trig is None:
-            trig = max(max_mq, 60)
-        if cap is None:
-            median_len = float(np.median(batch.lengths())) if len(batch) else 0
-            if median_len > 1000:
-                cap = 240
-            elif median_len > 200:
-                cap = 120
-            else:
-                cap = max(max_mq, 60)
+        if getattr(self, "_pooled_cap_trig", None) is not None:
+            pooled_cap, pooled_trig = self._pooled_cap_trig
+            return (cap if cap is not None else pooled_cap,
+                    trig if trig is not None else pooled_trig)
+        derived_cap, derived_trig = self._derive_cap_and_trigger(
+            batch.mapq if len(batch) else np.zeros(0),
+            batch.lengths() if len(batch) else np.zeros(0))
+        return (cap if cap is not None else derived_cap,
+                trig if trig is not None else derived_trig)
+
+    @staticmethod
+    def _derive_cap_and_trigger(mapqs: np.ndarray, lengths: np.ndarray):
+        max_mq = int(mapqs.max()) if len(mapqs) else 60
+        trig = max(max_mq, 60)
+        median_len = float(np.median(lengths)) if len(lengths) else 0
+        if median_len > 1000:
+            cap = 240
+        elif median_len > 200:
+            cap = 120
+        else:
+            cap = max(max_mq, 60)
         return cap, trig
 
     def _eval_jobs_fixed_len(self, batch, haplotypes, penalties, L,

@@ -16,7 +16,6 @@ from .basics.sequence import encode_sequence
 from .core.callers.base import SiteCall
 from .core.csr.measures import compute_measures
 from .core.csr.threshold import ThresholdFilter
-from .core.csr.random_forest import Forest, RandomForestFilter
 from .core.types.variants import Variant
 from .io.fasta import IndexedFasta, ReferenceGenome
 from .io.read_manager import ReadManager
@@ -34,7 +33,12 @@ def run_filter_vcf(args) -> int:
         else ThresholdFilter()
     forest = None
     if getattr(args, "forest_model", None):
-        forest = RandomForestFilter(Forest.load(args.forest_model))
+        from .core.csr.random_forest import ForestCsr
+        forest = ForestCsr(
+            args.forest_model, getattr(args, "somatic_forest_model", None),
+            getattr(args, "min_forest_quality", 3.0),
+            use_somatic_forest_for_refcalls=not getattr(
+                args, "use_germline_forest_for_somatic_normals", False))
         if not any(f.get("ID") == "RF" for f in header.filters):
             header.add_filter("RF", "Random forest filtered")
         header.add_format("RFGQ", "1", "Float", "Random forest call quality")
@@ -74,12 +78,17 @@ def run_filter_vcf(args) -> int:
         measures = compute_measures(call, batch, facets=facets,
                                     phase_length=int(pln) if pln else None)
         somatic = bool(rec.info.get("SOMATIC"))
-        failed = threshold.classify(measures, somatic=somatic)
+        # refcall records: no real ALT (is_refcall.cpp semantics)
+        refcall = not rec.alts or all(a in (".", "<NON_REF>")
+                                      for a in rec.alts)
+        failed = threshold.classify(measures, somatic=somatic,
+                                    refcall=refcall)
         if forest is not None:
-            rfgq, rf_fails = forest.classify([measures])
-            failed.extend(rf_fails[0])
+            rf_fails, rfgq = forest.classify_q(measures, somatic=somatic,
+                                               refcall=refcall)
+            failed.extend(rf_fails)
             for sv in rec.sample_values:
-                sv["RFGQ"] = round(float(rfgq[0]), 2)
+                sv["RFGQ"] = round(float(rfgq), 2)
             if "RFGQ" not in rec.format_keys:
                 rec.format_keys.append("RFGQ")
         rec.filters = failed if failed else ["PASS"]

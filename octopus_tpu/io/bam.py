@@ -147,9 +147,16 @@ class BaiIndex:
 
 class BamFile:
     def __init__(self, path: str):
+        from ..errors import MalformedFileError, MissingFileError
         self.path = str(path)
-        self._bgzf = BgzfReader(self.path)
-        self._parse_header()
+        if not os.path.exists(self.path):
+            raise MissingFileError(self.path, "read", where="BamFile")
+        try:
+            self._bgzf = BgzfReader(self.path)
+            self._parse_header()
+        except (ValueError, struct.error, EOFError) as e:
+            raise MalformedFileError(self.path, "BAM", detail=str(e),
+                                     where="BamFile") from None
         bai = self.path + ".bai"
         if not os.path.exists(bai):
             alt = os.path.splitext(self.path)[0] + ".bai"
@@ -193,7 +200,9 @@ class BamFile:
               keep_names: bool = False, keep_aux: bool = False) -> dict[str, ReadBatch]:
         """Reads overlapping the region, decoded per sample."""
         if self.index is None:
-            raise ValueError(f"{self.path}: no BAI index for region queries")
+            from ..errors import MissingIndexError
+            raise MissingIndexError(self.path, "BAM", where="BamFile.fetch",
+                                    index_hint=self.path + ".bai")
         try:
             ref_id = self.header.ref_names.index(contig)
         except ValueError:

@@ -46,17 +46,38 @@ class IndexedFasta:
     """
 
     def __init__(self, path: str | os.PathLike):
+        from ..errors import MalformedFileError, MissingFileError
         self.path = str(path)
+        if not os.path.exists(self.path):
+            raise MissingFileError(self.path, "reference FASTA",
+                                   where="IndexedFasta")
+        with open(self.path, "rb") as fh:
+            magic = fh.read(2)
+        if magic == b"\x1f\x8b":
+            raise MalformedFileError(
+                self.path, "reference FASTA",
+                detail="the file is gzip-compressed", where="IndexedFasta",
+                help="decompress the reference (bgzip -d / gunzip) — random "
+                     "access needs the plain-text FASTA plus its .fai")
         fai = self.path + ".fai"
-        if not os.path.exists(fai):
-            _write_fai(self.path, fai)
-        self._index: "OrderedDict[str, _FaiEntry]" = OrderedDict()
-        with open(fai) as fh:
-            for line in fh:
-                name, length, offset, line_bases, line_width = line.split("\t")[:5]
-                self._index[name] = _FaiEntry(
-                    int(length), int(offset), int(line_bases), int(line_width)
-                )
+        try:
+            if not os.path.exists(fai):
+                _write_fai(self.path, fai)
+            self._index: "OrderedDict[str, _FaiEntry]" = OrderedDict()
+            with open(fai) as fh:
+                for line in fh:
+                    name, length, offset, line_bases, line_width = line.split("\t")[:5]
+                    self._index[name] = _FaiEntry(
+                        int(length), int(offset), int(line_bases), int(line_width)
+                    )
+        except ValueError as e:
+            raise MalformedFileError(self.path, "reference FASTA",
+                                     detail=str(e),
+                                     where="IndexedFasta") from None
+        if not self._index:
+            raise MalformedFileError(
+                self.path, "reference FASTA",
+                detail="no sequences found", where="IndexedFasta")
         self._fh = open(self.path, "rb")
         import threading
         self._io_lock = threading.Lock()

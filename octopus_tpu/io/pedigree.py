@@ -33,15 +33,28 @@ class Pedigree:
 
     @staticmethod
     def read(path: str) -> "Pedigree":
+        from ..errors import MalformedFileError, MissingFileError
+        import os
+        if not os.path.exists(path):
+            raise MissingFileError(path, "pedigree (PED)",
+                                   where="Pedigree.read",
+                                   option="--pedigree")
         members = []
         with open(path) as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, 1):
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
                 cols = line.split()
                 if len(cols) < 4:
-                    continue
+                    # pedigree_reader.cpp rejects rows without the
+                    # family/sample/father/mother columns
+                    raise MalformedFileError(
+                        path, "pedigree (PED)",
+                        detail=f"line {lineno} has {len(cols)} columns, "
+                               "expected at least 4 "
+                               "(family, sample, father, mother)",
+                        where="Pedigree.read")
                 fam, name, father, mother = cols[:4]
                 sex = {"1": "male", "2": "female"}.get(
                     cols[4] if len(cols) > 4 else "0", "unknown")

@@ -169,24 +169,42 @@ def parse_region(text: str, reference: ReferenceGenome,
     half-open by default; 'contig:pos' is the point region [pos, pos+1);
     'contig:begin-' runs to the contig end; begin/end clamp to the contig.
     --one-based-indexing shifts the whole region left by one
-    (option_collation.cpp:489-510 transform_to_zero_based)."""
+    (option_collation.cpp:489-510 transform_to_zero_based).
+
+    Malformed syntax or an unknown contig raises
+    :class:`~octopus_tpu.errors.BadRegionError`."""
+    from .errors import BadRegionError
+
+    def contig_size(contig):
+        try:
+            return reference.contig_size(contig)
+        except KeyError:
+            raise BadRegionError(
+                text, reason=f"contig {contig!r} is not in the reference",
+                known_contigs=reference.contig_names()) from None
+
     if ":" not in text:
-        return text, 0, reference.contig_size(text)
+        return text, 0, contig_size(text)
     contig, _, rng = text.rpartition(":")
     rng = rng.replace(",", "")
-    size = reference.contig_size(contig)
-    if "-" in rng:
-        b_str, _, e_str = rng.partition("-")
-        b = min(int(b_str), max(size - 1, 0))
-        if e_str == "":
-            e = size
+    size = contig_size(contig)
+    try:
+        if "-" in rng:
+            b_str, _, e_str = rng.partition("-")
+            b = min(int(b_str), max(size - 1, 0))
+            if e_str == "":
+                e = size
+            else:
+                e = min(int(e_str), size)
+                if b > e:
+                    raise BadRegionError(text,
+                                         reason="begin is greater than end")
         else:
-            e = min(int(e_str), size)
-            if b > e:
-                raise ValueError(f"region {text!r} has begin greater than end")
-    else:
-        b = min(int(rng), max(size - 1, 0))
-        e = min(b + 1, size)
+            b = min(int(rng), max(size - 1, 0))
+            e = min(b + 1, size)
+    except ValueError:
+        raise BadRegionError(
+            text, reason="positions must be integers") from None
     if one_based and b > 0:
         b, e = b - 1, e - 1
     return contig, b, e
@@ -375,13 +393,25 @@ def _setup_components(args):
         # (fp32 elements; /16 leaves headroom for the 3-4 live intermediates)
         os.environ["OCTOPUS_TPU_VB_BUDGET_ELEMS"] = str(
             max(1_000_000, int(twm) // 16))
+    from .errors import MissingFileError
+    if not os.path.exists(args.reference):
+        raise MissingFileError(args.reference, "reference FASTA",
+                               where="_setup_components", option="--reference")
     reference = ReferenceGenome(
         IndexedFasta(args.reference),
         max_cache_bytes=getattr(args, "max_reference_cache_memory", 256 << 20))
     read_paths = list(args.reads or [])
     for listing in getattr(args, "reads_file", None) or []:
+        if not os.path.exists(listing):
+            raise MissingFileError(listing, "read-path list",
+                                   where="_setup_components",
+                                   option="--reads-file")
         with open(listing) as fh:
             read_paths.extend(l.strip() for l in fh if l.strip())
+    for p in read_paths:
+        if not os.path.exists(p):
+            raise MissingFileError(p, "read", where="_setup_components",
+                                   option="--reads")
     manager = ReadManager(read_paths,
                           max_open_files=getattr(args, "max_open_read_files", 250) or 250,
                           reference=reference)
@@ -391,14 +421,17 @@ def _setup_components(args):
         wanted = set(args.samples)
         missing = wanted - set(samples)
         if missing:
-            print(f"octopus-tpu: samples not in read files: {sorted(missing)}",
-                  file=sys.stderr)
-            return 2
+            from .errors import MissingSampleError
+            raise MissingSampleError(sorted(missing), samples)
         samples = [s for s in samples if s in wanted]
     one_based = getattr(args, "one_based_indexing", False)
     if args.regions:
         regions = [parse_region(r, reference, one_based) for r in args.regions]
     elif getattr(args, "regions_file", None):
+        if not os.path.exists(args.regions_file):
+            raise MissingFileError(args.regions_file, "regions",
+                                   where="_setup_components",
+                                   option="-t/--regions-file")
         with open(args.regions_file) as fh:
             regions = [parse_region(l.strip(), reference, one_based)
                        for l in fh if l.strip()]
@@ -416,14 +449,23 @@ def _setup_components(args):
             if getattr(args, "ignore_unmapped_contigs", False):
                 regions = [r for r in regions if r[0] not in unmapped]
             else:
-                print("octopus-tpu: reference contigs missing from read "
-                      f"files: {unmapped[:5]}{'...' if len(unmapped) > 5 else ''} "
-                      "(pass --ignore-unmapped-contigs to skip them)",
-                      file=sys.stderr)
-                return 2
+                from .errors import UserError
+                shown = unmapped[:5] + (["..."] if len(unmapped) > 5 else [])
+                raise UserError(
+                    "some reference contigs are missing from every read "
+                    f"file: {shown} — the read files were probably mapped "
+                    "to a different reference",
+                    where="_setup_components",
+                    help="pass --ignore-unmapped-contigs to call only the "
+                         "mapped contigs, restrict with -T/--regions, or "
+                         "use the reference the reads were aligned to")
     skip = [parse_region(r, reference, one_based)
             for r in getattr(args, "skip_regions", None) or []]
     if getattr(args, "skip_regions_file", None):
+        if not os.path.exists(args.skip_regions_file):
+            raise MissingFileError(args.skip_regions_file, "skip-regions",
+                                   where="_setup_components",
+                                   option="-k/--skip-regions-file")
         with open(args.skip_regions_file) as fh:
             skip.extend(parse_region(l.strip(), reference, one_based)
                         for l in fh if l.strip())
@@ -449,7 +491,10 @@ def _setup_components(args):
         from .core.csr.random_forest import ForestCsr
         csr = ForestCsr(args.forest_model,
                         getattr(args, "somatic_forest_model", None),
-                        getattr(args, "min_forest_quality", 3.0))
+                        getattr(args, "min_forest_quality", 3.0),
+                        use_somatic_forest_for_refcalls=not getattr(
+                            args, "use_germline_forest_for_somatic_normals",
+                            False))
     elif components:
         csr = ThresholdFilter(components.filter_expression,
                               components.somatic_filter_expression,
@@ -553,6 +598,12 @@ def _run_calling_main(args, components, reference, bams, samples,
     windows = propose_windows(reference, regions, bams)
     # checkpointed shard directory keyed by the output path
     out_path = args.output or "octopus-tpu-calls.vcf"
+    # fail fast on an unwritable output target (UnwritableFileError role,
+    # exceptions/unwritable_file_error.hpp) instead of after the calling loop
+    out_dir = os.path.dirname(out_path) or "."
+    if not os.path.isdir(out_dir) or not os.access(out_dir, os.W_OK):
+        from .errors import UnwritableFileError
+        raise UnwritableFileError(out_path, where="_run_calling_main")
     prefix = getattr(args, "temp_directory_prefix", None) or "octopus-temp"
     shard_dir = (out_path + ".shards" if prefix == "octopus-temp"
                  else os.path.join(os.path.dirname(out_path) or ".",

@@ -237,12 +237,14 @@ def test_samples_restriction_and_reads_file(tmp_path, small_genome):
     ])
     assert run_calling(args) == 0
     assert any(not l.startswith("#") for l in open(out))
-    # unknown sample errors cleanly
+    # unknown sample errors cleanly (structured MissingSampleError)
+    from octopus_tpu.errors import MissingSampleError
     args2 = build_parser().parse_args([
         "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1",
         "-S", "NOPE",
     ])
-    assert run_calling(args2) == 2
+    with pytest.raises(MissingSampleError, match="NOPE"):
+        run_calling(args2)
 
 
 def test_forest_model_in_run(tmp_path, small_genome):

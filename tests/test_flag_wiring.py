@@ -135,7 +135,9 @@ def test_unmapped_contig_check(tmp_path):
         __import__("os").unlink(fai)
     out = str(tmp_path / "out.vcf")
     argv = ["-R", fa, "-I", bam, "-o", out]
-    assert run_calling(build_parser().parse_args(argv)) == 2
+    from octopus_tpu.errors import UserError
+    with pytest.raises(UserError, match="missing from every read"):
+        run_calling(build_parser().parse_args(argv))
     argv += ["--ignore-unmapped-contigs"]
     assert run_calling(build_parser().parse_args(argv)) == 0
     text = open(out).read()
@@ -305,3 +307,64 @@ def test_working_directory_and_resolve_symlinks(tmp_path):
         assert args.reads[0] == os.path.realpath(str(link))
     finally:
         os.chdir(cwd)
+
+
+def test_use_same_read_profile_for_all_samples_pools_mq_profile():
+    """--use-same-read-profile-for-all-samples: ONE pooled MQ cap/trigger
+    for every sample (option_collation.cpp:1624-1659 shared ReadSetProfile)
+    instead of the per-sample derivation."""
+    from octopus_tpu.basics.reads import make_read_batch
+    from octopus_tpu.core.likelihood.likelihood_array import (
+        HaplotypeLikelihoodArray, LikelihoodConfig)
+
+    rng = np.random.default_rng(12)
+    ref = rng.integers(0, 4, 2000).astype(np.uint8)
+    seq = "".join("ACGT"[c] for c in ref)
+    short = make_read_batch("chr1", [
+        (i * 50, "100M", seq[i * 50:i * 50 + 100], [37] * 100, 60, 0)
+        for i in range(8)])
+    long = make_read_batch("chr1", [
+        (10 + i, "1800M", seq[10 + i:10 + i + 1800], [30] * 1800, 60, 0)
+        for i in range(12)])
+
+    # per-sample derivation: short reads cap at max MQ (60), long at 240
+    per = HaplotypeLikelihoodArray(LikelihoodConfig())
+    assert per._mq_cap_and_trigger(short) == (60, 60)
+    assert per._mq_cap_and_trigger(long) == (240, 60)
+
+    shared = HaplotypeLikelihoodArray(
+        LikelihoodConfig(shared_read_profile=True))
+    shared.populate([short, long], [ref], haplotype_begin=0)
+    # pooled median length is 1800 (12 long vs 8 short) -> cap 240 for BOTH
+    assert shared._pooled_cap_trig == (240, 60)
+    assert shared._mq_cap_and_trigger(short) == (240, 60)
+    assert shared._mq_cap_and_trigger(long) == (240, 60)
+
+
+def test_use_germline_forest_for_somatic_normals_routes_refcalls(tmp_path):
+    """Forest choice per somatic_random_forest_filter.cpp:28-37: somatic ->
+    somatic forest; refcall -> somatic forest unless
+    --use-germline-forest-for-somatic-normals; else germline."""
+    from octopus_tpu.core.csr.random_forest import ForestCsr, train_forest
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(200, 2))
+    passing = train_forest(X, np.ones(200, int), ["AD", "DP"], n_trees=5)
+    failing = train_forest(X, np.zeros(200, int), ["AD", "DP"], n_trees=5)
+    gp, sp = str(tmp_path / "g.npz"), str(tmp_path / "s.npz")
+    passing.save(gp)
+    failing.save(sp)
+    m = {"AD": 0.0, "DP": 0.0}
+
+    default = ForestCsr(gp, sp)
+    flagged = ForestCsr(gp, sp, use_somatic_forest_for_refcalls=False)
+
+    # germline record -> germline forest either way
+    assert default.classify_q(m)[0] == []
+    assert flagged.classify_q(m)[0] == []
+    # somatic record -> somatic forest either way
+    assert default.classify_q(m, somatic=True)[0] == ["RF"]
+    assert flagged.classify_q(m, somatic=True)[0] == ["RF"]
+    # refcall record: somatic forest by default, germline under the flag
+    assert default.classify_q(m, refcall=True)[0] == ["RF"]
+    assert flagged.classify_q(m, refcall=True)[0] == []
