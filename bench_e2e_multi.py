@@ -48,6 +48,34 @@ def _make_seq(rng, n):
     return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
 
 
+COMPILES = {"n": 0, "secs": 0.0}     # process-wide XLA compile accounting
+
+
+def _install_compile_counter():
+    """Count every fresh XLA executable + its compile seconds
+    (jax_log_compiles emits one line per compile on jax._src.dispatch).
+    Lets each bench report how much of its wall was one-time compilation."""
+    import logging
+    import re
+
+    import jax
+    jax.config.update("jax_log_compiles", True)
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            msg = r.getMessage()
+            if "Finished XLA compilation of" in msg:
+                COMPILES["n"] += 1
+                m = re.search(r"in ([0-9.]+) sec", msg)
+                if m:
+                    COMPILES["secs"] += float(m.group(1))
+
+    logger = logging.getLogger("jax._src.dispatch")
+    logger.addHandler(_H())
+    if logger.level > logging.WARNING or logger.level == 0:
+        logger.setLevel(logging.WARNING)
+
+
 def _run_cli(fa, bams, out, extra, timeout=3600):
     """Drive the real CLI argument path in-process: one process shares the
     per-shape kernel compilations across all benchmark modes (a subprocess
@@ -279,8 +307,10 @@ def main():
     kb = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
+    _install_compile_counter()
     from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
     warm_kernels((150,))
+    warm = dict(COMPILES)
     runs = {
         "trio": lambda: bench_trio(kb, depth),
         "cancer": lambda: bench_cancer(kb, max(depth, 60)),
@@ -289,7 +319,12 @@ def main():
     for name, fn in runs.items():
         if mode not in ("all", name):
             continue
-        print(json.dumps(fn()), flush=True)
+        before = dict(COMPILES)
+        result = fn()
+        result["n_compiles"] = COMPILES["n"] - before["n"]
+        result["compile_s"] = round(COMPILES["secs"] - before["secs"], 2)
+        result["warm_compiles"] = warm["n"]
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,14 @@ class VariationalBayesMixtureMixtureModel:
         C = len(clone_members)
         M = max(len(m) for m in clone_members)
         R = max((l.shape[1] for l in lnL_by_cell), default=1) or 1
+        # bucket the read axis to the power-of-4 ladder (32,128,512,...):
+        # read_mask zeroes the padding exactly, so results are unchanged and
+        # the compiled-executable set stays closed (same discipline as
+        # subclone_vb.py; the round-3 cancer cold wall was per-shape compiles)
+        Rp = 32
+        while Rp < R:
+            Rp *= 4
+        R = Rp
         lnl = np.zeros((N, C, M, R), np.float32)
         read_mask = np.zeros((N, R), np.float32)
         member_mask = np.zeros((C, M), np.float32)

@@ -67,6 +67,29 @@ def _vb_single(lnl_kn, alpha0, resp_init, n_iter=50, mask_n=None):
     return elbo, alpha, resp
 
 
+def warm_vb(max_reads: int = 512, ks=(2, 3), seeds_iters=((2, 40), (3, 50)),
+            max_g: int = 64) -> None:
+    """Pre-compile the VB executable ladder (the warm_kernels() analogue
+    for the mixture models): one evaluate per (K, Np rung, G edge) over the
+    (n_seeds, n_iter) configs the callers actually construct
+    (cancer.py:130 SubcloneModel(2, 40), polyclone.py:63 (3, 50)).
+    Deterministic startup cost instead of first-window compile stalls; a
+    no-op when executables are already cached."""
+    ladder = [32]
+    while ladder[-1] < max_reads:
+        ladder.append(ladder[-1] * 4)
+    g_rungs = [1]
+    while g_rungs[-1] < max_g:
+        g_rungs.append(g_rungs[-1] * 4)
+    for n_seeds, n_iter in seeds_iters:
+        model = SubcloneModel(n_seeds=n_seeds, n_iter=n_iter)
+        for K in ks:
+            for Np in ladder:
+                lnL = np.zeros((1, Np), np.float32)
+                for g in g_rungs:
+                    model.evaluate(np.zeros((g, K), np.int64), lnL)
+
+
 @dataclass
 class SubcloneInference:
     genotype_log_evidences: np.ndarray   # (G,) approximate ln evidence
@@ -97,10 +120,16 @@ class SubcloneModel:
         # rows are independent under vmap) so every region reuses a small
         # set of compiled programs instead of recompiling per (G, N); the
         # genotype axis runs in fixed-size chunks so device memory stays
-        # bounded regardless of how many candidate tuples a region proposes
-        Np = 8
+        # bounded regardless of how many candidate tuples a region proposes.
+        # The ladders are powers of FOUR (32,128,512,... reads and 1,4,16,...
+        # genotype rows): a power-of-two ladder compiled ~40 distinct
+        # (Gp, K, Np) programs over a cancer run (the round-3 cold-wall tax,
+        # BASELINE.md) for a compute kernel cheap enough that 4x padding
+        # waste is immaterial; the reference has no analogous cost because
+        # its VB is interpreted C++ (variational_bayes_mixture_model.hpp)
+        Np = 32
         while Np < N:
-            Np *= 2
+            Np *= 4
         # ~256 MB fp32 working-set budget for (Gc, S, K, Np) intermediates,
         # counted in PADDED elements: K rounds up to 8 sublanes, Np (minor)
         # to 128 lanes; --target-working-memory overrides via the env seam
@@ -128,9 +157,12 @@ class SubcloneModel:
                         G, K, N, Np, Gp_budget):
         budget_elems, k_pad, np_pad = Gp_budget
         gchunk = max(1, budget_elems // max(self.n_seeds * np_pad * (k_pad + 2), 1))
-        Gp = 1
-        while Gp * 2 <= min(G, gchunk):
-            Gp *= 2
+        gp_cap = 1
+        while gp_cap * 4 <= gchunk:
+            gp_cap *= 4
+        Gp = 1                      # round G UP to the ladder (one launch
+        while Gp < min(G, gp_cap):  # for small G), bounded by the budget
+            Gp *= 4
         lnL_pad = np.zeros((lnL.shape[0], Np), np.float32)
         lnL_pad[:, :N] = lnL
         mask = np.zeros(Np, np.float32)

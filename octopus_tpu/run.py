@@ -591,6 +591,35 @@ def _write_journal(path: str, done: dict) -> None:
     os.replace(tmp, path)
 
 
+def _start_warmup(caller_kind: str):
+    """Pre-compile the bounded executable ladders on a daemon thread so
+    one-time compiles overlap the first windows' host work instead of
+    stalling them (warm_kernels for the pair-HMM; warm_vb for the VB
+    callers — the round-3 cancer cold-wall tax, BASELINE.md).  XLA compiles
+    release the GIL, so this genuinely overlaps.  OCTOPUS_TPU_NO_WARM=1
+    disables."""
+    if os.environ.get("OCTOPUS_TPU_NO_WARM"):
+        return None
+    import threading
+
+    def go():
+        try:
+            from .core.likelihood.likelihood_array import warm_kernels
+            warm_kernels((150,))
+            if caller_kind in ("cancer", "polyclone", "cell"):
+                from .core.models.subclone_vb import warm_vb
+                seeds_iters = (((2, 40),) if caller_kind == "cancer"
+                               else ((3, 50),))
+                warm_vb(max_reads=512, ks=(2, 3), seeds_iters=seeds_iters,
+                        max_g=64)
+        except Exception:          # warm-up must never take the run down
+            pass
+
+    t = threading.Thread(target=go, daemon=True, name="octopus-warmup")
+    t.start()
+    return t
+
+
 def _run_calling_main(args, components, reference, bams, samples,
                       regions, pipe, csr, annotations, header,
                       refcall_mode, t0):
@@ -619,6 +648,7 @@ def _run_calling_main(args, components, reference, bams, samples,
     progress = ProgressMeter(sum(w.end - w.begin for w in windows))
     caller_cache: dict[str, object] = {}
     caller_kind = components.caller_kind if components else getattr(args, "caller", "auto")
+    _start_warmup(caller_kind)
     caller_config = components.caller if components else None
     n_records = 0
     n_threads = max(int(getattr(args, "threads", 0) or 0), 1)

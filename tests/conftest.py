@@ -6,6 +6,9 @@ import os
 # conftest, so the env var alone is not enough — force it through jax.config
 # (safe while no backend has been initialised yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the production warm-up thread would add background kernel compiles to
+# every tiny run_calling test; the ladders have their own dedicated tests
+os.environ.setdefault("OCTOPUS_TPU_NO_WARM", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
