@@ -81,43 +81,73 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
                                     jnp.arange(K, dtype=jnp.int32))
             return total
 
-        times = {}
-        for K in (1, 9):
-            float(step(jax.random.PRNGKey(0), K))       # compile + sync
-            best = float("inf")
-            for i in range(6):
-                t0 = time.time()
-                float(step(jax.random.PRNGKey(i), K))
-                best = min(best, time.time() - t0)
-            times[K] = best
-        return times
+        QUEUE = 9          # batches per staged queue (one sync point)
+        PIPE = 5           # queues in flight for the pipelined measure
+        REPS = 5           # independent repetitions -> median + spread
+        # compile + first sync for both shapes
+        float(step(jax.random.PRNGKey(0), 1))
+        float(step(jax.random.PRNGKey(0), QUEUE))
+        marginals, singles, pipelined = [], [], []
+        key = jax.random.PRNGKey(42)
+        for i in range(REPS):
+            t0 = time.time()
+            float(step(jax.random.fold_in(key, 2 * i), 1))
+            t1 = time.time() - t0
+            t0 = time.time()
+            float(step(jax.random.fold_in(key, 2 * i + 1), QUEUE))
+            tq = time.time() - t0
+            # K-difference cancels the per-call dispatch round trip exactly
+            per_batch = (tq - t1) / (QUEUE - 1)
+            marginals.append(B / per_batch if per_batch > 0 else float("inf"))
+            singles.append(B / t1)
+            # pipelined staging: issue PIPE queues back-to-back (async
+            # dispatch, results read at the end) — the production launch
+            # shape of a big window's populate (_device_scores dispatches
+            # every chunk before its single collect), so dispatch latency
+            # hides behind the previous queue's compute
+            t0 = time.time()
+            outs = [step(jax.random.fold_in(key, 1000 + i * PIPE + j), QUEUE)
+                    for j in range(PIPE)]
+            for o in outs:
+                float(o)
+            tp = time.time() - t0
+            pipelined.append(PIPE * QUEUE * B / tp)
+        return {
+            "marginal": marginals,
+            "single": singles,
+            "pipelined": pipelined,
+            "queue": QUEUE,
+            "pipeline_depth": PIPE,
+        }
 
     import jax
     kernel = "pallas"
     try:
-        times = bench_path("pallas")
+        series = bench_path("pallas")
     except Exception:
         kernel = "xla"
-        times = bench_path("xla")
-    # K-difference cancels the per-call dispatch round trip exactly
-    per_batch = (times[9] - times[1]) / 8.0
+        series = bench_path("xla")
+
+    def stats(xs):
+        return {"median": float(np.median(xs)), "min": float(np.min(xs)),
+                "max": float(np.max(xs))}
+
     return {
-        "pairs_per_s_marginal": B / per_batch if per_batch > 0 else float("inf"),
-        # production staging: the pipeline enqueues many batches per
-        # sync point (async chunked launches, likelihood_array.
-        # _device_scores), so dispatch amortises over the staged queue —
-        # this number includes one full dispatch per 9-batch queue
-        "pairs_per_s_total": 9 * B / times[9],
-        "pairs_per_s_single_launch": B / times[1],
-        "times": times,
+        "marginal": stats(series["marginal"]),
+        "single_launch": stats(series["single"]),
+        "pipelined": stats(series["pipelined"]),
+        "queue": series["queue"],
+        "pipeline_depth": series["pipeline_depth"],
         "kernel": kernel,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
 
 
-def bench_reference_kernel() -> float:
-    """Single-thread pairs/s of the reference SSE2 kernel on this host."""
+def bench_reference_kernel(reps: int = 5) -> dict:
+    """Single-thread pairs/s of the reference SSE2 kernel on this host:
+    median + spread over `reps` independent runs (the box shows ±30%
+    run-to-run noise, BASELINE.md — a single point has no error bars)."""
     exe = os.path.join(os.path.dirname(__file__), "tests", "golden", "golden_bench")
     if not os.path.exists(exe):
         src = exe + ".cpp"
@@ -128,20 +158,27 @@ def bench_reference_kernel() -> float:
              "-I", "/root/reference/src",
              "-o", exe, src],
             check=True, capture_output=True)
-    out = subprocess.run([exe, str(R), "40000"], capture_output=True, text=True,
-                         check=True, timeout=300)
-    return float(json.loads(out.stdout)["pairs_per_s"])
+    vals = []
+    for _ in range(reps):
+        out = subprocess.run([exe, str(R), "40000"], capture_output=True,
+                             text=True, check=True, timeout=300)
+        vals.append(float(json.loads(out.stdout)["pairs_per_s"]))
+    return {"median": float(np.median(vals)), "min": float(np.min(vals)),
+            "max": float(np.max(vals))}
 
 
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
     tpu = bench_tpu()
     try:
-        ref_st = bench_reference_kernel()
-        baseline = ref_st * BASELINE_THREADS
+        ref = bench_reference_kernel()
+        baseline = ref["median"] * BASELINE_THREADS
+        baseline_spread = [ref["min"] * BASELINE_THREADS,
+                           ref["max"] * BASELINE_THREADS]
     except Exception:
         baseline = float("nan")
-    value = tpu["pairs_per_s_marginal"]
+        baseline_spread = None
+    value = tpu["marginal"]["median"]
     vs = value / baseline if baseline == baseline else None
     # GCUPS: banded DP cell updates/s = pairs/s x (R rows x 2*pad diagonals).
     # Two ceilings are reported:
@@ -162,10 +199,11 @@ def main() -> int:
     tile_ops_per_row_block = 60.0          # measured op census, (16,128) i32
     issue_ceiling_pairs = 0.94e9 * 128 / (tile_ops_per_row_block * R)
     issue_ceiling_gcups = issue_ceiling_pairs * R * D / 1e9
+    rnd = lambda s: {k: round(v, 1) for k, v in s.items()}
     print(json.dumps({
         "metric": "pairhmm_pairs_per_s_per_chip",
         "value": round(value, 1),
-        "unit": "read-haplotype pairs/s (R=150, band 8)",
+        "unit": "read-haplotype pairs/s (R=150, band 8; median of 5 reps)",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {
             "gcups": round(gcups, 1),
@@ -173,9 +211,16 @@ def main() -> int:
             "fraction_of_sol": round(gcups / sol_gcups, 3),
             "measured_issue_ceiling_gcups": round(issue_ceiling_gcups, 1),
             "fraction_of_issue_ceiling": round(gcups / issue_ceiling_gcups, 3),
-            "total_pairs_per_s_incl_dispatch": round(tpu["pairs_per_s_total"], 1),
-            "single_launch_pairs_per_s": round(tpu["pairs_per_s_single_launch"], 1),
+            "marginal_pairs_per_s": rnd(tpu["marginal"]),
+            "total_pairs_per_s_incl_dispatch": round(
+                tpu["pipelined"]["median"], 1),
+            "pipelined_staged_pairs_per_s": rnd(tpu["pipelined"]),
+            "single_launch_pairs_per_s": rnd(tpu["single_launch"]),
+            "staging": {"queue": tpu["queue"],
+                        "pipeline_depth": tpu["pipeline_depth"]},
             "baseline_ref_sse2_x8threads_pairs_per_s": round(baseline, 1) if baseline == baseline else None,
+            "baseline_spread": ([round(x, 1) for x in baseline_spread]
+                                if baseline_spread else None),
             "kernel": tpu.get("kernel"),
             "backend": tpu["backend"],
             "device": tpu["device"],

@@ -8,10 +8,16 @@ DAF DC DENOVO DP DPC ER ERS FRF GC GQ GQD ITV MC MF MHL MP MPD MQ MQ0 MQD
 MRC MRL NC PLN PP PPD PPP QD QUAL REB REFCALL RSB RTB SB SD SF SHC SMQ
 SOMATIC STRL STRP VL.
 
-The reference computes several of these through read re-assignment facets
-(re-running the HMM for per-haplotype support); here the same definitions
-are evaluated on directly observed pileup support — the `facets` module
-provides the HMM-assignment refinement where callers need it.
+The reference computes the support and bias families through the
+ReadAssignments facet (re-running the HMM for per-haplotype support); so
+does this module when a FacetBundle is supplied (the callers' normal path):
+AD/ADP/AF/AFB, SB, RTB/REB/RSB, ARF, BMC/BMF/BMQ, MHL and DC all evaluate
+over HMM-assigned reads per the reference's definitions
+(strand_bias.cpp:34-213 with the Monte-Carlo resampling replaced by a
+deterministic grid integral of the same probability, read_tail_bias.cpp,
+read_end_bias.cpp, read_side_bias.cpp, base_mismatch_*.cpp).  Without a
+bundle the pileup-based fallbacks below apply and the miss is counted
+(FACET_MISSES).
 """
 
 from __future__ import annotations
@@ -341,13 +347,18 @@ def _strand_bias_prob(f1: int, r1: int, f2: int, r2: int,
 
 
 @functools.lru_cache(maxsize=65536)
-def _strand_diseq(fwd: int, depth: int) -> float:
-    """Two-sided exact binomial(0.5) deviation probability: at p = 0.5 the
-    distribution is symmetric, so the minlike two-sided p-value equals
-    2*min(cdf(k), sf(k-1)) capped at 1."""
-    p = 2.0 * min(sps.binom.cdf(fwd, depth, 0.5),
-                  sps.binom.sf(fwd - 1, depth, 0.5))
-    return 1.0 - min(p, 1.0)
+def _strand_diseq(fwd: int, rev: int, tail_mass: float = 0.01) -> float:
+    """SD per the reference (strand_disequilibrium.cpp do_evaluate +
+    maths.hpp:980 beta_tail_probability, tail_mass_ default 0.01): the
+    posterior probability that the strand fraction is EXTREME —
+    P(p < tail_mass) + P(p > 1 - tail_mass) under Beta(fwd+0.5, rev+0.5)
+    over the reads overlapping the call.  ~0 for balanced pileups; fires
+    only when nearly every read sits on one strand.  (Round-4 fix: the
+    previous 1 - two-sided-binomial-p statistic fired on ~10% of good
+    calls by chance — the cancer bench's 8% missed somatics were all
+    'SD > 0.9' threshold kills of correctly-called sites.)"""
+    return float(sps.beta.cdf(tail_mass, fwd + 0.5, rev + 0.5)
+                 + sps.beta.sf(1.0 - tail_mass, fwd + 0.5, rev + 0.5))
 
 
 def _side_bias(offsets: list) -> float:
@@ -356,6 +367,140 @@ def _side_bias(offsets: list) -> float:
         return 0.5
     left = sum(1 for off, L in offsets if off < L / 2)
     return left / len(offsets)
+
+
+# ---------------------------------------------------------------------------
+# assignment-based measures (primary path; the pileup versions above are the
+# recorded fallback when no facet bundle is available)
+# ---------------------------------------------------------------------------
+
+def _read_section(batch: ReadBatch, i: int, begin: int, end: int):
+    """Aligned read bases + qualities over reference region [begin, end)
+    (the reference's copy_sequence/copy_base_qualities over a mapped
+    region)."""
+    seq = batch.sequence(i)
+    quals = batch.qualities(i)
+    pos = int(batch.begins[i])
+    q = 0
+    bases, bqs = [], []
+    for length, op in batch.cigar(i):
+        length = int(length)
+        if op in (cg.M, cg.EQ, cg.X):
+            lo = max(begin - pos, 0)
+            hi = min(end - pos, length)
+            if hi > lo:
+                bases.append(seq[q + lo:q + hi])
+                bqs.append(quals[q + lo:q + hi])
+            pos += length
+            q += length
+        elif op == cg.I:
+            q += length
+        elif op == cg.D:
+            pos += length
+        elif op == cg.S:
+            q += length
+        elif op in (cg.NSKIP, cg.P):
+            pos += length
+        if pos >= end:
+            break
+    if not bases:
+        return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    return np.concatenate(bases), np.concatenate(bqs)
+
+
+def _assign_tail_bias(sup, vb: int, ve: int, tail_frac: float = 0.03) -> float:
+    """RTB over one allele's assigned support (read_tail_bias.cpp:60-110):
+    beta_cdf(head+1, tail+1, min(3*tail_frac, 0.5)) where tail is the last
+    tail_bases of each containing read in sequencing direction."""
+    head = tail = 0
+    for k in range(len(sup)):
+        rb, re = int(sup.begins[k]), int(sup.ends[k])
+        if not (rb <= vb and ve <= re):
+            continue
+        tail_bases = max(int(sup.seq_lengths[k] * tail_frac), 1)
+        if sup.is_forward[k]:
+            in_tail = vb >= re - tail_bases
+        else:
+            in_tail = ve <= rb + tail_bases
+        if in_tail:
+            tail += 1
+        else:
+            head += 1
+    return float(sps.beta.cdf(min(3 * tail_frac, 0.5), head + 1, tail + 1))
+
+
+def _assign_end_bias(sup, vb: int, ve: int, end_frac: float = 0.03) -> float:
+    """REB (read_end_bias.cpp:52-121): like RTB but 'end' means EITHER read
+    end; beta_cdf(middle+1, end+1, min(3*end_frac, 0.5))."""
+    middle = end_n = 0
+    for k in range(len(sup)):
+        rb, re = int(sup.begins[k]), int(sup.ends[k])
+        if not (rb <= vb and ve <= re):
+            continue
+        end_bases = max(int(sup.seq_lengths[k] * end_frac), 1)
+        in_end = (ve <= rb + end_bases) or (vb >= re - end_bases)
+        if in_end:
+            end_n += 1
+        else:
+            middle += 1
+    return float(sps.beta.cdf(min(3 * end_frac, 0.5), middle + 1, end_n + 1))
+
+
+def _assign_side_bias(sup, vb: int, ve: int, tolerance: float = 0.5) -> float:
+    """RSB (read_side_bias.cpp:37-85): strand-aware left/right placement;
+    P(lhs fraction outside [0.5 - tol/2, 0.5 + tol/2]) under
+    Beta(lhs+1, rhs+1)."""
+    fwd_head = fwd_tail = rev_head = rev_tail = 0
+    size = ve - vb
+    for k in range(len(sup)):
+        rb, re = int(sup.begins[k]), int(sup.ends[k])
+        if not (rb < ve and vb < re):
+            continue
+        read_size = re - rb
+        rhs = vb < re and ve > rb + read_size // 2   # overlaps right half
+        fwd = bool(sup.is_forward[k])
+        if size >= read_size // 2:
+            h = t = 1
+        elif rhs:
+            h, t = (0, 1) if fwd else (1, 0)
+        else:
+            h, t = (1, 0) if fwd else (0, 1)
+        if fwd:
+            fwd_head += h
+            fwd_tail += t
+        else:
+            rev_head += h
+            rev_tail += t
+    lhs = fwd_head + rev_tail
+    rhs_n = fwd_tail + rev_head
+    p_l = float(sps.beta.sf(0.5 + tolerance / 2, lhs + 1, rhs_n + 1))
+    p_r = float(sps.beta.cdf(0.5 - tolerance / 2, lhs + 1, rhs_n + 1))
+    return p_l + p_r
+
+
+def _assign_mismatches(sup, allele_codes: np.ndarray, vb: int, ve: int):
+    """BMC/BMQ inputs (base_mismatch_count.cpp:35-77): per supporting read
+    overlapping the allele, mismatches between its aligned bases over the
+    allele region and the ALLELE's own sequence."""
+    count = 0
+    mismatch_quals: list = []
+    for batch, i in sup.reads:
+        rb, re = int(batch.begins[i]), int(batch.ends[i])
+        if not (rb < ve and vb < re):
+            continue
+        section, squals = _read_section(batch, i, vb, ve)
+        n = min(len(section), len(allele_codes))
+        if n == 0:
+            continue
+        if int(batch.begins[i]) <= vb:
+            a, b, qs = section[:n], allele_codes[:n], squals[:n]
+        else:                       # read starts inside the allele: align tails
+            a, b, qs = section[-n:], allele_codes[-n:], squals[-n:]
+        mism = a != b
+        count += int(mism.sum())
+        if mism.any():
+            mismatch_quals.extend(int(q) for q in qs[mism])
+    return count, mismatch_quals
 
 
 def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
@@ -426,7 +571,8 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     else:
         out["SB"] = None
     # strand disequilibrium of the whole pileup (binomial two-sided)
-    out["SD"] = _strand_diseq(ctx.fwd_depth, depth) if depth else 0.0
+    out["SD"] = (_strand_diseq(ctx.fwd_depth, depth - ctx.fwd_depth)
+                 if depth else 0.0)
     # multi-sample: allele-support measures per carrier sample, min-tail
     if (reads_by_sample is not None and call.genotypes
             and len(call.genotypes) > 1):
@@ -577,6 +723,84 @@ def _apply_facet_measures(out: dict, call, v, facets) -> None:
     dc = facets.duplicate_concordance(v)
     if dc is not None:
         out["DC"] = dc
+    _apply_assignment_bias_measures(out, call, v, facets)
+
+
+def _apply_assignment_bias_measures(out: dict, call, v, facets) -> None:
+    """SB/RTB/REB/RSB/ARF and the BMC family over HMM-ASSIGNED reads — the
+    reference's primary semantics (strand_bias.cpp:34-213,
+    read_tail_bias.cpp, read_end_bias.cpp, read_side_bias.cpp,
+    ambiguous_read_fraction.cpp, base_mismatch_{count,fraction,quality}.cpp
+    all require the ReadAssignments facet).  Values override the pileup
+    fallbacks already in `out`; per-sample values aggregate max (biases
+    grow with badness — the min-tail analogue for the filter direction)."""
+    support = facets.allele_assignment_support(v)
+    gts = call.genotypes or []
+    vb, ve = v.begin, max(v.end, v.begin + 1)
+    alleles = (("ref", v.ref_codes), ("alt", v.alt_codes))
+    sbs, rtbs, rebs, rsbs, arfs, bmcs, bmfs = [], [], [], [], [], [], []
+    bmq_quals: list = []
+    for s, entry in enumerate(support):
+        if entry is None:
+            continue
+        sgt = gts[s] if s < len(gts) else []
+        carrier = bool(sgt) and any(a > 0 for a in sgt)
+        # called alleles for this sample (get_called): ref appears when any
+        # genotype slot is ref, alt when any slot carries it
+        called = []
+        if sgt and any(a == 0 for a in sgt):
+            called.append(alleles[0])
+        if carrier or not sgt:
+            called.append(alleles[1])
+        # SB: evaluable only for het carriers (strand_bias.cpp:84-87);
+        # pairwise max P(|p_i - p_j| > 0.25) over called alleles, counts
+        # from assigned reads overlapping the call (+1 direction priors)
+        if carrier and sgt and len(set(sgt)) > 1:
+            counts = []
+            for key, _ in called:
+                sup = entry[key]
+                over = (sup.begins < ve) & (sup.ends > vb)
+                fwd = int((over & sup.is_forward).sum())
+                counts.append((fwd, int(over.sum()) - fwd))
+            best = 0.0
+            for i in range(len(counts) - 1):
+                for j in range(i + 1, len(counts)):
+                    best = max(best, _strand_bias_prob(
+                        counts[i][0], counts[i][1],
+                        counts[j][0], counts[j][1]))
+            sbs.append(best)
+        # position biases: max over called alleles
+        if called:
+            rtbs.append(max(_assign_tail_bias(entry[key], vb, ve)
+                            for key, _ in called))
+            rebs.append(max(_assign_end_bias(entry[key], vb, ve)
+                            for key, _ in called))
+            rsbs.append(max(_assign_side_bias(entry[key], vb, ve)
+                            for key, _ in called))
+        # ARF: ambiguously-assigned fraction of overlapping reads
+        if entry["n_overlapping"]:
+            arfs.append(entry["n_ambiguous"] / entry["n_overlapping"])
+        # BMC/BMF/BMQ over assigned support vs the allele's own sequence
+        bmc = 0
+        for key, codes in called:
+            c, quals = _assign_mismatches(entry[key], codes, vb, ve)
+            bmc += c
+            bmq_quals.extend(quals)
+        bmcs.append(bmc)
+        bases = entry["n_overlapping"] * max(len(v.alt_codes), ve - vb)
+        bmfs.append(bmc / bases if bases else 0.0)
+    if sbs:
+        out["SB"] = max(sbs)
+    if rtbs:
+        out["RTB"] = max(rtbs)
+        out["REB"] = max(rebs)
+        out["RSB"] = max(rsbs)
+    if arfs:
+        out["ARF"] = max(arfs)
+    if bmcs:
+        out["BMC"] = max(bmcs)
+        out["BMF"] = max(bmfs)
+        out["BMQ"] = float(np.median(bmq_quals)) if bmq_quals else None
 
 
 def _str_context(ref_codes, ref_begin: int, pos: int,

@@ -329,3 +329,24 @@ class TestNativeSiteStats:
         assert native_ctx.alt_base_qualities == py_ctx.alt_base_qualities
         assert native_ctx.alt_offsets == py_ctx.alt_offsets
         assert native_ctx.alt_mapping_qualities == py_ctx.alt_mapping_qualities
+
+
+def test_strand_disequilibrium_reference_semantics():
+    """SD = P(strand fraction in the extreme tails) under
+    Beta(fwd+0.5, rev+0.5) with tail mass 0.01
+    (strand_disequilibrium.cpp + maths.hpp:980).  The round-3 statistic
+    (1 - two-sided binomial p) fired on ~10% of good calls by chance and
+    was the entire cancer missed-somatic tail (BASELINE.md round 4)."""
+    from octopus_tpu.core.csr.measures import _strand_diseq
+
+    # balanced and mildly skewed pileups: nowhere near the 0.9 clause
+    assert _strand_diseq(44, 44) < 1e-6
+    assert _strand_diseq(30, 58) < 1e-6          # the old statistic fired here
+    assert _strand_diseq(10, 20) < 1e-3
+    # genuine one-strand artifacts fire (the 0.9 clause needs deep
+    # one-sided pileups; shallow ones keep a wide posterior)
+    assert _strand_diseq(0, 60) > 0.5
+    assert _strand_diseq(0, 200) > 0.9
+    assert _strand_diseq(200, 0) > 0.9
+    # tiny depths stay calm (prior keeps the posterior wide)
+    assert _strand_diseq(0, 2) < 0.5
