@@ -21,19 +21,39 @@ from ..types.variants import Variant
 
 
 @dataclass
+class AlleleSupportSet:
+    """Reads assigned as supporting one allele (the reference's
+    ReadRefSupportSet): mapped extents, sequencing-direction flags, and
+    handles back to the batch for base-level access."""
+
+    begins: np.ndarray
+    ends: np.ndarray
+    seq_lengths: np.ndarray
+    is_forward: np.ndarray
+    reads: list                 # (batch, index) handles
+
+    def __len__(self) -> int:
+        return len(self.begins)
+
+
+@dataclass
 class FacetBlock:
     """Inputs identifying one call block (usually one phase set)."""
 
     contig: str
     begin: int
     end: int
-    variants: list            # Variant per called site
+    variants: list            # Variant per called site (first ALT)
     genotypes: list           # per sample: allele indices per site
     reads_by_sample: list     # ReadBatch per sample
     samples: list
     reference: object
     pedigree: object | None = None
     ploidy: int = 2
+    # multi-allelic sites: ALL alts per site, parallel to `variants`
+    # (genotype allele index a > 0 selects site_alts[site][a-1]); when
+    # absent, each site is assumed biallelic with `variants[site]`
+    site_alts: list | None = None
 
 
 class FacetBundle:
@@ -146,6 +166,8 @@ class FacetBundle:
         hi = lo + len(codes)
         fetch = lambda b, e: self.block.reference.fetch_codes(
             self.block.contig, b, e)
+        site_lists = (self.block.site_alts
+                      or [[v] for v in self.block.variants])
         out = []
         for sample_gts in self.block.genotypes:
             # slot count from the sample's own genotypes: somatic/CNV calls
@@ -157,10 +179,11 @@ class FacetBundle:
             seen = set()
             for k in range(n_slots):
                 variants = []
-                for site, gt in zip(self.block.variants, sample_gts):
+                for alts, gt in zip(site_lists, sample_gts):
                     allele = gt[k] if k < len(gt) else 0
                     if allele > 0:
-                        variants.append(site)
+                        # allele index selects among the site's ALTs
+                        variants.append(alts[min(allele, len(alts)) - 1])
                 key = tuple((v.begin, v.alt) for v in variants)
                 if key not in seen:
                     seen.add(key)
@@ -210,6 +233,51 @@ class FacetBundle:
             assigned = over & (a.hap_of_read >= 0)
             alt = assigned & np.isin(a.hap_of_read, alt_haps)
             out.append((int(alt.sum()), int(assigned.sum())))
+        return out
+
+    def allele_assignment_support(self, variant: Variant) -> list:
+        """Per sample: assignment-based per-allele read support — the
+        reference's AlleleSupportMap (read_assignments.hpp:25-34,
+        compute_allele_support), restricted to this site's ref and alt
+        alleles.
+
+        Returns, per sample, a dict with:
+          'alt'/'ref': AlleleSupportSet of reads assigned to haplotypes
+                       carrying / not carrying the allele at this site
+                       (haplotypes carrying a DIFFERENT alt of the same
+                       site support neither),
+          'n_overlapping', 'n_ambiguous': overlapping-read accounting for
+                       ARF (ambiguous_read_fraction.cpp:34-53).
+        """
+        vb = variant.begin
+        ve = max(variant.end, variant.begin + 1)
+        out = []
+        for b, a, haps in zip(self.overlapping_reads, self.read_assignments,
+                              self.called_haplotypes_by_sample):
+            if a is None or not len(b):
+                out.append(None)
+                continue
+            alt_haps, ref_haps = [], []
+            for i, h in enumerate(haps):
+                if any(v.begin == variant.begin and v.alt == variant.alt
+                       for v in h.variants):
+                    alt_haps.append(i)
+                elif not any(v.begin == variant.begin for v in h.variants):
+                    ref_haps.append(i)
+            over = (b.begins < ve) & (b.ends > vb)
+            entry = {
+                "n_overlapping": int(over.sum()),
+                "n_ambiguous": int((over & (a.hap_of_read < 0)).sum()),
+            }
+            for key, hap_ids in (("alt", alt_haps), ("ref", ref_haps)):
+                sel = np.flatnonzero(np.isin(a.hap_of_read, hap_ids)
+                                     & (a.hap_of_read >= 0))
+                entry[key] = AlleleSupportSet(
+                    begins=b.begins[sel], ends=b.ends[sel],
+                    seq_lengths=b.lengths()[sel],
+                    is_forward=(b.flags[sel] & 0x10) == 0,
+                    reads=[(b, int(i)) for i in sel])
+            out.append(entry)
         return out
 
     def mean_likelihoods(self, begin: int, end: int) -> list:
@@ -269,4 +337,4 @@ class FacetBundle:
         return n_concordant / n_groups
 
 
-__all__ = ["FacetBlock", "FacetBundle"]
+__all__ = ["AlleleSupportSet", "FacetBlock", "FacetBundle"]

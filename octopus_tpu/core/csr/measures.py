@@ -361,6 +361,11 @@ def _strand_diseq(fwd: int, rev: int, tail_mass: float = 0.01) -> float:
                  + sps.beta.sf(1.0 - tail_mass, fwd + 0.5, rev + 0.5))
 
 
+def _min_tail(entry: dict, key: str, val, worst=min) -> None:
+    """Accumulate the tail value across a sample's carried alleles."""
+    entry[key] = val if key not in entry else worst(entry[key], val)
+
+
 def _side_bias(offsets: list) -> float:
     """Binomial-style left/right imbalance of the allele position in reads."""
     if not offsets:
@@ -573,32 +578,46 @@ def compute_measures(call, batch: ReadBatch, expected_af: float | None = None,
     # strand disequilibrium of the whole pileup (binomial two-sided)
     out["SD"] = (_strand_diseq(ctx.fwd_depth, depth - ctx.fwd_depth)
                  if depth else 0.0)
-    # multi-sample: allele-support measures per carrier sample, min-tail
+    # multi-sample or multi-allelic: allele-support measures per CARRIER
+    # sample against the allele(s) that sample ACTUALLY CARRIES, min-tail
+    # aggregated (allele_frequency_bias.cpp do_aggregator; cardinality
+    # alt_alleles in measure.hpp).  Evaluating only alts[0] for every
+    # sample zeroes AD/AF for any carrier of a different ALT and wrongly
+    # threshold-fails well-supported multi-allelic records.
     if (reads_by_sample is not None and call.genotypes
-            and len(call.genotypes) > 1):
+            and (len(call.genotypes) > 1 or len(call.alts) > 1)):
         per = []
         for s, sgt in enumerate(call.genotypes):
             if s >= len(reads_by_sample) or not sgt or not any(a > 0 for a in sgt):
                 continue
-            sctx = site_context(reads_by_sample[s], v.begin, v.end,
-                                v.alt_codes, v.is_insertion(), v.is_deletion(),
-                                ref_codes, ref_begin)
-            af = (sctx.alt_depth / sctx.assigned_depth
-                  if sctx.assigned_depth else 0.0)
-            exp = sum(1 for a in sgt if a > 0) / len(sgt)
-            entry = {"AF": af, "AFB": abs(af - exp), "AD": sctx.alt_depth,
-                     "ADP": sctx.assigned_depth}
-            if not v.is_indel() and sctx.alt_base_qualities:
-                entry["BQ"] = float(np.median(sctx.alt_base_qualities))
-            if len(set(sgt)) > 1:     # het carrier (strand_bias.cpp is_evaluable)
-                entry["SB"] = _strand_bias_prob(
-                    sctx.alt_forward, sctx.alt_reverse,
-                    max(sctx.fwd_depth - sctx.alt_forward, 0),
-                    max(sctx.rev_depth - sctx.alt_reverse, 0))
+            entry: dict = {}
+            for a in sorted({x for x in sgt if x > 0}):
+                va = call.alts[a - 1] if a - 1 < len(call.alts) else v
+                sctx = site_context(reads_by_sample[s], va.begin, va.end,
+                                    va.alt_codes, va.is_insertion(),
+                                    va.is_deletion(), ref_codes, ref_begin)
+                af = (sctx.alt_depth / sctx.assigned_depth
+                      if sctx.assigned_depth else 0.0)
+                exp = sum(1 for x in sgt if x == a) / len(sgt)
+                _min_tail(entry, "AF", af)
+                _min_tail(entry, "AFB", abs(af - exp))
+                _min_tail(entry, "AD", sctx.alt_depth)
+                _min_tail(entry, "ADP", sctx.assigned_depth)
+                if not va.is_indel() and sctx.alt_base_qualities:
+                    _min_tail(entry, "BQ",
+                              float(np.median(sctx.alt_base_qualities)))
+                if len(set(sgt)) > 1:  # het carrier (strand_bias.cpp is_evaluable)
+                    _min_tail(entry, "SB", _strand_bias_prob(
+                        sctx.alt_forward, sctx.alt_reverse,
+                        max(sctx.fwd_depth - sctx.alt_forward, 0),
+                        max(sctx.rev_depth - sctx.alt_reverse, 0)),
+                        worst=max)
             per.append(entry)
         if per:
             for k in ("AF", "AFB", "AD", "ADP"):
-                out[k] = min(e[k] for e in per)
+                vals = [e[k] for e in per if k in e]
+                if vals:
+                    out[k] = min(vals)
             bqs = [e["BQ"] for e in per if "BQ" in e]
             out["BQ"] = min(bqs) if bqs else None
             sbs = [e["SB"] for e in per if "SB" in e]
@@ -696,26 +715,41 @@ def _apply_facet_measures(out: dict, call, v, facets) -> None:
     assigned reads (allele_depth.cpp, assigned_depth.cpp,
     allele_frequency.cpp), MHL from assigned-read likelihoods
     (mean_likelihood.cpp), DC from duplicate-group allele concordance
-    (duplicate_concordance.cpp). Carrier samples aggregate min-tail as the
-    pileup path does."""
-    support = facets.allele_support_context(v)
+    (duplicate_concordance.cpp). Carrier samples aggregate min-tail over
+    the allele(s) each carries, as the pileup path does."""
     gts = call.genotypes or []
-    carriers = [s for s, sgt in enumerate(gts)
-                if sgt and any(a > 0 for a in sgt) and s < len(support)]
-    if not carriers and support:
-        carriers = list(range(len(support)))
+    support_of = {}                       # alt index -> per-sample support
+
+    def support_for(a: int):
+        if a not in support_of:
+            va = call.alts[a - 1] if a - 1 < len(call.alts) else v
+            support_of[a] = facets.allele_support_context(va)
+        return support_of[a]
+
     entries = []
-    for s in carriers:
-        alt, dep = support[s]
-        sgt = gts[s] if s < len(gts) else []
-        exp = (sum(1 for a in sgt if a > 0) / len(sgt)) if sgt else 0.5
-        af = alt / dep if dep else 0.0
-        entries.append((alt, dep, af, abs(af - exp)))
+    for s, sgt in enumerate(gts):
+        carried = sorted({a for a in (sgt or []) if a > 0}) or [1]
+        entry: dict = {}
+        any_support = False
+        for a in carried:
+            support = support_for(a)
+            if s >= len(support):
+                continue
+            any_support = True
+            alt, dep = support[s]
+            exp = (sum(1 for x in sgt if x == a) / len(sgt)) if sgt else 0.5
+            af = alt / dep if dep else 0.0
+            _min_tail(entry, "AD", alt)
+            _min_tail(entry, "ADP", dep)
+            _min_tail(entry, "AF", af)
+            _min_tail(entry, "AFB", abs(af - exp))
+        if any_support and (not sgt or any(a > 0 for a in sgt)):
+            entries.append(entry)
     if entries:
-        out["AD"] = min(e[0] for e in entries)
-        out["ADP"] = min(e[1] for e in entries)
-        out["AF"] = min(e[2] for e in entries)
-        out["AFB"] = min(e[3] for e in entries)
+        for k in ("AD", "ADP", "AF", "AFB"):
+            vals = [e[k] for e in entries if k in e]
+            if vals:
+                out[k] = min(vals)
     mhls = [m for m in facets.mean_likelihoods(v.begin, v.end)
             if m is not None]
     if mhls:
@@ -734,31 +768,46 @@ def _apply_assignment_bias_measures(out: dict, call, v, facets) -> None:
     all require the ReadAssignments facet).  Values override the pileup
     fallbacks already in `out`; per-sample values aggregate max (biases
     grow with badness — the min-tail analogue for the filter direction)."""
-    support = facets.allele_assignment_support(v)
     gts = call.genotypes or []
-    vb, ve = v.begin, max(v.end, v.begin + 1)
-    alleles = (("ref", v.ref_codes), ("alt", v.alt_codes))
+    support_of = {}                       # alt index -> per-sample support
+
+    def support_for(a: int):
+        if a not in support_of:
+            va = call.alts[a - 1] if a - 1 < len(call.alts) else v
+            support_of[a] = facets.allele_assignment_support(va)
+        return support_of[a]
+
+    n_samples = len(gts) or len(facets.samples)
     sbs, rtbs, rebs, rsbs, arfs, bmcs, bmfs = [], [], [], [], [], [], []
     bmq_quals: list = []
-    for s, entry in enumerate(support):
-        if entry is None:
-            continue
+    for s in range(n_samples):
         sgt = gts[s] if s < len(gts) else []
         carrier = bool(sgt) and any(a > 0 for a in sgt)
+        carried = sorted({a for a in (sgt or []) if a > 0}) or [1]
         # called alleles for this sample (get_called): ref appears when any
-        # genotype slot is ref, alt when any slot carries it
-        called = []
-        if sgt and any(a == 0 for a in sgt):
-            called.append(alleles[0])
+        # genotype slot is ref, plus each ALT the sample carries; the ref
+        # support set is identical across this site's alts, so take it from
+        # the first carried allele's support
+        first = support_for(carried[0])
+        entry0 = first[s] if s < len(first) else None
+        if entry0 is None:
+            continue
+        called = []                       # (allele codes, support set, variant)
+        if not sgt or any(a == 0 for a in sgt):
+            called.append((v.ref_codes, entry0["ref"], v))
         if carrier or not sgt:
-            called.append(alleles[1])
+            for a in carried:
+                va = call.alts[a - 1] if a - 1 < len(call.alts) else v
+                sup_s = support_for(a)
+                if s < len(sup_s) and sup_s[s] is not None:
+                    called.append((va.alt_codes, sup_s[s]["alt"], va))
         # SB: evaluable only for het carriers (strand_bias.cpp:84-87);
         # pairwise max P(|p_i - p_j| > 0.25) over called alleles, counts
         # from assigned reads overlapping the call (+1 direction priors)
+        vb, ve = v.begin, max(v.end, v.begin + 1)
         if carrier and sgt and len(set(sgt)) > 1:
             counts = []
-            for key, _ in called:
-                sup = entry[key]
+            for _, sup, _va in called:
                 over = (sup.begins < ve) & (sup.ends > vb)
                 fwd = int((over & sup.is_forward).sum())
                 counts.append((fwd, int(over.sum()) - fwd))
@@ -769,25 +818,29 @@ def _apply_assignment_bias_measures(out: dict, call, v, facets) -> None:
                         counts[i][0], counts[i][1],
                         counts[j][0], counts[j][1]))
             sbs.append(best)
-        # position biases: max over called alleles
+        # position biases: max over called alleles, each over ITS region
         if called:
-            rtbs.append(max(_assign_tail_bias(entry[key], vb, ve)
-                            for key, _ in called))
-            rebs.append(max(_assign_end_bias(entry[key], vb, ve)
-                            for key, _ in called))
-            rsbs.append(max(_assign_side_bias(entry[key], vb, ve)
-                            for key, _ in called))
+            rtbs.append(max(_assign_tail_bias(
+                sup, va.begin, max(va.end, va.begin + 1))
+                for _, sup, va in called))
+            rebs.append(max(_assign_end_bias(
+                sup, va.begin, max(va.end, va.begin + 1))
+                for _, sup, va in called))
+            rsbs.append(max(_assign_side_bias(
+                sup, va.begin, max(va.end, va.begin + 1))
+                for _, sup, va in called))
         # ARF: ambiguously-assigned fraction of overlapping reads
-        if entry["n_overlapping"]:
-            arfs.append(entry["n_ambiguous"] / entry["n_overlapping"])
+        if entry0["n_overlapping"]:
+            arfs.append(entry0["n_ambiguous"] / entry0["n_overlapping"])
         # BMC/BMF/BMQ over assigned support vs the allele's own sequence
         bmc = 0
-        for key, codes in called:
-            c, quals = _assign_mismatches(entry[key], codes, vb, ve)
+        for codes, sup, va in called:
+            c, quals = _assign_mismatches(
+                sup, codes, va.begin, max(va.end, va.begin + 1))
             bmc += c
             bmq_quals.extend(quals)
         bmcs.append(bmc)
-        bases = entry["n_overlapping"] * max(len(v.alt_codes), ve - vb)
+        bases = entry0["n_overlapping"] * max(len(v.alt_codes), ve - vb)
         bmfs.append(bmc / bases if bases else 0.0)
     if sbs:
         out["SB"] = max(sbs)

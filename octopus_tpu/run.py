@@ -1040,7 +1040,8 @@ def _make_facet_bundles(calls, window, reference, batches_by_sample,
             contig=window.contig, begin=begin, end=end,
             variants=variants, genotypes=genotypes,
             reads_by_sample=batches_by_sample, samples=list(samples),
-            reference=reference, ploidy=ploidy))
+            reference=reference, ploidy=ploidy,
+            site_alts=[list(c.alts) for c in group if c.alts]))
         for c in group:
             facet_of_call[id(c)] = bundle
             phase_len[id(c)] = span
