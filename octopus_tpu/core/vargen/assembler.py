@@ -312,8 +312,25 @@ class LocalReassembler:
         # clustered trigger (TriggerType::clustered): reads whose aligned
         # bases mismatch the reference >= 2 times — how assembly-only events
         # (e.g. deletions aligned as full-M reads) present
-        interesting |= self._mismatch_dense_reads(batch, region_begin,
-                                                  region_end)
+        dense = self._mismatch_dense_reads(batch, region_begin, region_end)
+        # sanity guard: genuine clustered variants make a LOCAL subset of
+        # reads mismatch-dense; when the majority of a whole region's
+        # M-cigar reads disagree with the reference everywhere (wrong
+        # reference build, contamination, unalignable sequence), assembling
+        # every bin just manufactures noise bubbles and burns minutes —
+        # suppress the clustered trigger and keep the indel/clip triggers
+        # (round-4 probe: a wrong-reference run spent 4 min on a 2 kb
+        # window producing 59 junk candidates)
+        if len(batch) and float(dense.mean()) > 0.5:
+            import logging
+            logging.getLogger("octopus_tpu").warning(
+                "assembler: %d/%d reads in %s:%d-%d are mismatch-dense "
+                "against the reference — suppressing the clustered assembly "
+                "trigger (wrong reference or unalignable region?)",
+                int(dense.sum()), len(batch), self.contig, region_begin,
+                region_end)
+        else:
+            interesting |= dense
         pos = region_begin
         while pos < region_end:
             bin_end = min(pos + opt.bin_size, region_end)

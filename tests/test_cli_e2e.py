@@ -301,3 +301,64 @@ def test_trio_csr_sample_alignment(tmp_path):
             if r.alts and r.filters == ["PASS"]]
     assert any(abs(r.pos - 1 - 3000) <= 1 for r in recs), \
         [(r.pos, r.filters) for r in VcfReader(str(out)).records()]
+
+
+def test_refcall_gvcf_tiles_without_gaps_or_overlaps(tmp_path):
+    """gVCF continuity: refcall blocks + variant records must tile the
+    requested region with no overlaps and no gaps (round-4 probe;
+    reference semantics: caller.cpp refcall block construction)."""
+    from octopus_tpu.utils.synthetic import simulate_diploid
+
+    fa, bam, truth, n = simulate_diploid(str(tmp_path), kb=12, depth=25,
+                                         seed=42)
+    out = tmp_path / "g.vcf"
+    args = build_parser().parse_args([
+        "-R", fa, "-I", bam, "-o", str(out), "-T", "chr1:0-8000", "--refcall",
+    ])
+    assert run_calling(args) == 0
+    recs = list(VcfReader(str(out)))
+    assert len(recs) > 50
+    prev_end = None
+    for r in recs:
+        pos0 = r.pos - 1
+        end = int(r.info["END"]) if "END" in r.info else pos0 + len(r.ref)
+        if prev_end is not None:
+            assert pos0 >= prev_end, f"overlap at {pos0} (prev end {prev_end})"
+            assert pos0 <= prev_end, f"gap {prev_end}-{pos0}"
+        prev_end = max(prev_end or 0, end)
+    assert prev_end >= 7990
+
+
+def test_assembler_suppressed_on_wrong_reference(tmp_path):
+    """Majority-mismatch-dense read sets (wrong reference build) must not
+    trigger per-bin assembly everywhere — round-4 probe: such a window
+    burned 4 minutes making 59 junk candidates before the guard."""
+    import time
+    import numpy as np
+    from octopus_tpu.basics.reads import make_read_batch
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    other_seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    fa = tmp_path / "wrong.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i:i + 70] + "\n")
+    reads = []
+    for i in range(400):
+        b = int(rng.integers(0, 3800))
+        reads.append((b, "150M", other_seq[b:b + 150], [37] * 150, 60, 0))
+    bam = tmp_path / "wrong.bam"
+    with BamWriter(str(bam), ["chr1"], [len(seq)], samples=["S"]) as w:
+        w.write_batch(make_read_batch("chr1", reads).sorted_by_begin(),
+                      sample="S")
+    build_bai(str(bam))
+    out = tmp_path / "o.vcf"
+    args = build_parser().parse_args([
+        "-R", str(fa), "-I", str(bam), "-o", str(out), "-T", "chr1:0-4000",
+    ])
+    t0 = time.time()
+    assert run_calling(args) == 0
+    assert time.time() - t0 < 60        # was minutes before the guard
