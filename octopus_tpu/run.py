@@ -556,6 +556,8 @@ def _process_worker_run(task):
     contig, begin, end, key, shard_dir = task
     st = _WORKER_STATE
     window = Window(contig, begin, end)
+    from .utils import timers
+    before = dict(timers._totals)
     records = _call_window(window, st["reference"], st["bams"], st["samples"],
                            st["pipe"], st["csr"], st["caller_cache"],
                            st["caller_kind"], st["caller_config"], st["args"],
@@ -565,7 +567,13 @@ def _process_worker_run(task):
     with VcfWriter(shard_path, st["header"]) as w:
         for r in records:
             w.write(r)
-    return key, shard_path, len(records)
+    # per-window phase-timer delta: the parent aggregates these so
+    # --benchmark shows the whole fleet's phase breakdown, not just the
+    # parent process's
+    delta = {k: round(v - before.get(k, 0.0), 4)
+             for k, v in timers._totals.items()
+             if v - before.get(k, 0.0) > 0} if timers.enabled else {}
+    return key, shard_path, len(records), delta
 
 
 def _restrict_records(records, args):
@@ -725,13 +733,17 @@ def _run_calling_main(args, components, reference, bams, samples,
                         mp_context=mp.get_context("spawn"),
                         initializer=_process_worker_init,
                         initargs=(dict(vars(args)), env)) as ex:
-                    for key, shard_path, n in ex.map(_process_worker_run, tasks):
+                    for key, shard_path, n, tdelta in ex.map(
+                            _process_worker_run, tasks):
                         window = window_of[key]
                         done[key] = shard_path
                         _write_journal(journal_path, done)
                         if queue is not None:
                             queue.mark_done(key, {"shard": shard_path})
                         n_records += n
+                        for tk, tv in tdelta.items():
+                            timers._totals[tk] += tv
+                            timers._counts[tk] += 1
                         progress.advance(window.end - window.begin)
             except BrokenProcessPool:
                 # spawn re-imports the caller's __main__; an unguarded
