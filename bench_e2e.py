@@ -153,10 +153,18 @@ def main():
                                       "-T", "chr1:1-10000"])
     run_calling(warm)
     args = build_parser().parse_args(["-R", fa, "-I", bam, "-o", out, "-T", "chr1",
-                                      "--threads", "8"])
+                                      "--threads", "8", "--benchmark"])
+    from octopus_tpu.utils import timers
+    timers.reset()
     t0 = time.time()
     run_calling(args)
     wall = time.time() - t0
+    phases = {k: round(v, 1) for k, v in sorted(
+        timers._totals.items(), key=lambda kv: -kv[1])}
+    import resource
+    peak_rss_mb = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        + resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024, 1)
     all_records = [r for r in VcfReader(out).records() if r.alts]
     records = [r for r in all_records if r.filters == ["PASS"]]
     called_any = {r.pos - 1 for r in all_records} | {r.pos for r in all_records}
@@ -184,6 +192,8 @@ def main():
         # pre-filter caller recall: truth sites emitted at all (non-PASS
         # records are genuine threshold-filter decisions, e.g. AFB outliers)
         "recall_called": round(tp_any / max(len(truth), 1), 4),
+        "phases_s": phases,
+        "peak_rss_mb": peak_rss_mb,
     }))
 
 

@@ -310,6 +310,11 @@ def main():
     _install_compile_counter()
     from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
     warm_kernels((150,))
+    if mode in ("all", "cancer"):
+        # the VB executable ladder (the run-level warm-up thread only
+        # engages on >= 1 Mb runs; these benches are 100 kb)
+        from octopus_tpu.core.models.subclone_vb import warm_vb
+        warm_vb(max_reads=512, ks=(2, 3), seeds_iters=((2, 40),), max_g=64)
     warm = dict(COMPILES)
     runs = {
         "trio": lambda: bench_trio(kb, depth),

@@ -538,6 +538,8 @@ def _process_worker_init(args_dict, env):
     import argparse
     global _WORKER_STATE
     args = argparse.Namespace(**args_dict)
+    from .utils import timers
+    timers.enabled = bool(getattr(args, "benchmark", False))
     setup = _setup_components(args)
     if isinstance(setup, int):  # pragma: no cover - validated by parent
         raise RuntimeError(f"worker setup failed with exit code {setup}")
@@ -656,7 +658,11 @@ def _run_calling_main(args, components, reference, bams, samples,
     progress = ProgressMeter(sum(w.end - w.begin for w in windows))
     caller_cache: dict[str, object] = {}
     caller_kind = components.caller_kind if components else getattr(args, "caller", "auto")
-    _start_warmup(caller_kind)
+    # warm-up pays off when there is real work to overlap; tiny runs would
+    # only leave a daemon thread mid-XLA-compile at interpreter teardown
+    # (pthread 'FATAL: exception not rethrown' noise on exit)
+    if sum(w.end - w.begin for w in windows) >= 1_000_000:
+        _start_warmup(caller_kind)
     caller_config = components.caller if components else None
     n_records = 0
     n_threads = max(int(getattr(args, "threads", 0) or 0), 1)
