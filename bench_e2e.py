@@ -156,12 +156,17 @@ def main():
                                       "--threads", "8", "--benchmark"])
     from octopus_tpu.utils import timers
     timers.reset()
+    import resource
+    rss_after_sim_mb = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     t0 = time.time()
     run_calling(args)
     wall = time.time() - t0
     phases = {k: round(v, 1) for k, v in sorted(
         timers._totals.items(), key=lambda kv: -kv[1])}
-    import resource
+    # parent high-water (includes the simulation phase; rss_after_sim_mb
+    # separates the simulator's footprint from the caller's) + the largest
+    # worker process
     peak_rss_mb = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         + resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024, 1)
@@ -194,6 +199,7 @@ def main():
         "recall_called": round(tp_any / max(len(truth), 1), 4),
         "phases_s": phases,
         "peak_rss_mb": peak_rss_mb,
+        "rss_after_sim_mb": rss_after_sim_mb,
     }))
 
 
