@@ -407,6 +407,9 @@ struct Graph {
     }
 
     void prune(int min_weight) {
+        // strict threshold (see DeBruijnGraph.prune: the reference's
+        // junction leniency keeps single-read noise paths alive in this
+        // simpler pipeline)
         for (auto& edges : adj) {
             edges.erase(std::remove_if(edges.begin(), edges.end(),
                                        [&](const Edge& e) {

@@ -463,7 +463,11 @@ def collate(args) -> CollatedComponents:
         kmer_sizes=tuple(args.kmer_sizes),
         bin_size=args.max_assembly_region_size,
         bin_overlap=args.max_assembly_region_overlap,
-        min_kmer_observations=max(args.min_kmer_prune - 1, 1),
+        # --min-kmer-prune maps 1:1 (option_collation.cpp:1319); the
+        # round-1 "- 1" kept single-read noise k-mer paths alive, whose
+        # junk bubbles formed the dense candidate clusters behind the
+        # 10 Mb heavy tail (BASELINE.md round 4)
+        min_kmer_observations=args.min_kmer_prune,
         max_bubbles=args.max_bubbles,
         min_bubble_score=args.min_bubble_score,
         mask_threshold=args.assembler_mask_base_quality,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -19,6 +20,16 @@ import numpy as np
 from ...logging_.progress import TRACE
 
 _log = logging.getLogger("octopus_tpu")
+
+
+class HeavyWindowDeferred(Exception):
+    """A CPU worker declines a dense window so the TPU parent runs it
+    (raised only when OCTOPUS_TPU_DEFER_HEAVY is set in the worker env)."""
+
+    def __init__(self, begin: int, end: int):
+        super().__init__(f"heavy window {begin}-{end} deferred to parent")
+        self.begin = begin
+        self.end = end
 
 from ...basics.phred import LN10_DIV_10
 from ...utils import timers
@@ -201,9 +212,18 @@ class CallerBase:
                                and cfg.read_linkage != "linked"))
             if not early_split:
                 merge_distance *= 2
-        for begin, end, variants in propose_active_regions(
-                candidates, merge_distance=merge_distance,
-                max_variants_per_region=None):
+        # CPU worker processes hand HEAVY windows back to the TPU-owning
+        # parent: a dense candidate cluster means beam growth + big
+        # populates + big genotype reductions — seconds on the accelerator,
+        # minutes on a worker (the 10 Mb heavy-tail, BASELINE.md round 4).
+        # The threshold is variants-per-active-region; 0/unset disables.
+        defer_at = int(os.environ.get("OCTOPUS_TPU_DEFER_HEAVY", "0"))
+        regions_list = propose_active_regions(
+            candidates, merge_distance=merge_distance,
+            max_variants_per_region=None)
+        if defer_at and any(len(vs) >= defer_at for _, _, vs in regions_list):
+            raise HeavyWindowDeferred(region_begin, region_end)
+        for begin, end, variants in regions_list:
             merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
             if bad_region_config is not None:
                 severity = assess_region(merged, begin, end, len(variants),

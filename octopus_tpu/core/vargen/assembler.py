@@ -115,7 +115,14 @@ class DeBruijnGraph:
             prev = node
 
     def prune(self, min_weight: int) -> None:
-        """Drop non-reference edges below the support threshold."""
+        """Drop non-reference edges below the support threshold.
+
+        Deliberately STRICTER than Assembler::remove_low_weight_edges
+        (assembler.cpp:1380-1387), which spares low-weight edges at
+        well-connected junctions: in this pipeline (no iterative cleanup /
+        flank pruning stages) that leniency keeps every single-read noise
+        edge leaving a covered reference node alive, and those paths
+        manufacture junk bubbles (round-4 10 Mb heavy tail)."""
         for src in list(self.edges):
             dst = self.edges[src]
             for node in list(dst):
@@ -320,8 +327,11 @@ class LocalReassembler:
         # every bin just manufactures noise bubbles and burns minutes —
         # suppress the clustered trigger and keep the indel/clip triggers
         # (round-4 probe: a wrong-reference run spent 4 min on a 2 kb
-        # window producing 59 junk candidates)
-        if len(batch) and float(dense.mean()) > 0.5:
+        # window producing 59 junk candidates).  The absolute-count floor
+        # keeps genuine assembly-only structural events (a hom deletion
+        # makes most reads of its SMALL locality dense) out of the guard.
+        if (len(batch) and float(dense.mean()) > 0.5
+                and int(dense.sum()) >= 256):
             import logging
             logging.getLogger("octopus_tpu").warning(
                 "assembler: %d/%d reads in %s:%d-%d are mismatch-dense "
@@ -412,22 +422,22 @@ class LocalReassembler:
             seq = batch.sequence(i).copy()
             seq[batch.qualities(i) < opt.mask_threshold] = 4
             masked_reads.append(seq.tobytes())
-        out: list[Variant] = []
-        assembled_any = False
+        per_k: dict[int, list[Variant]] = {}
         # default sizes first; if every default k is ambiguous on this bin,
         # grow k through the fallback ladder until one succeeds
         # (local_reassembler.cpp:38-49 generate_fallback_kmer_sizes)
         fallbacks = [max(opt.kmer_sizes) + (i + 1) * opt.fallback_interval_size
                      for i in range(opt.num_fallbacks)]
+        fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         for tier, k in enumerate([*opt.kmer_sizes, *fallbacks]):
-            if tier >= len(opt.kmer_sizes) and assembled_any:
+            if tier >= len(opt.kmer_sizes) and per_k:
                 break
             if len(ref_bytes) < k + 1:
                 continue
             bubbles = assemble_bubbles(ref_bytes, masked_reads, k, opt)
             if bubbles is None:
                 continue
-            assembled_any = True
+            got: list[Variant] = []
             for start_i, end_i, alt_bytes, score in bubbles:
                 # reference segment covered by the bubble: ref node span is
                 # positions [start_i, end_i + k - 1)
@@ -440,10 +450,33 @@ class LocalReassembler:
                 ops = global_align(ref_seg, alt_seg)
                 vs = variants_from_alignment(ref_begin + seg_begin, ref_seg,
                                              alt_seg, ops, opt.max_variant_size)
-                fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
                 for v in vs:
                     if v.is_indel():
                         v = left_align(v, fetch)
+                    got.append(v)
+            per_k[k] = got
+        if not per_k:
+            return []
+        if len(per_k) == 1:
+            return next(iter(per_k.values()))
+        # cross-k confirmation: at small k, (k-1)-mers shared between
+        # distant loci can glue long phantom bubbles out of real reads'
+        # divergent paths (round-4 10 Mb heavy tail: a k=10-only 548 bp
+        # phantom decomposed into 9 junk deletions + SNVs and exploded the
+        # haplotype beam). A real event survives at every k that can hold
+        # its junction context, so keep the LARGEST k's variants plus any
+        # variant confirmed by >= 2 kmer sizes.
+        key = lambda v: (v.begin, v.end, bytes(v.ref), bytes(v.alt))
+        counts: dict = {}
+        for vs in per_k.values():
+            for kv in {key(v) for v in vs}:
+                counts[kv] = counts.get(kv, 0) + 1
+        out: list[Variant] = list(per_k[max(per_k)])
+        seen = {key(v) for v in out}
+        for k, vs in per_k.items():
+            for v in vs:
+                if counts[key(v)] >= 2 and key(v) not in seen:
+                    seen.add(key(v))
                     out.append(v)
         return out
 

@@ -560,10 +560,16 @@ def _process_worker_run(task):
     window = Window(contig, begin, end)
     from .utils import timers
     before = dict(timers._totals)
-    records = _call_window(window, st["reference"], st["bams"], st["samples"],
-                           st["pipe"], st["csr"], st["caller_cache"],
-                           st["caller_kind"], st["caller_config"], st["args"],
-                           st["refcall_mode"], st["annotations"])
+    from .core.callers.base import HeavyWindowDeferred
+    try:
+        records = _call_window(window, st["reference"], st["bams"],
+                               st["samples"], st["pipe"], st["csr"],
+                               st["caller_cache"], st["caller_kind"],
+                               st["caller_config"], st["args"],
+                               st["refcall_mode"], st["annotations"])
+    except HeavyWindowDeferred:
+        # dense window: decline it so the TPU-owning parent runs it
+        return key, None, 0, {}
     records = _restrict_records(records, st["args"])
     shard_path = os.path.join(shard_dir, key + ".vcf")
     with VcfWriter(shard_path, st["header"]) as w:
@@ -722,7 +728,11 @@ def _run_calling_main(args, components, reference, bams, samples,
                  for w in pending]
         env = {"JAX_PLATFORMS": "cpu",
                "OCTOPUS_TPU_HOST_HMM_MAX": os.environ.get(
-                   "OCTOPUS_TPU_WORKER_HOST_HMM_MAX", "1000000000")}
+                   "OCTOPUS_TPU_WORKER_HOST_HMM_MAX", "1000000000"),
+               # workers decline dense windows (>= this many variants in
+               # one active region) so the TPU parent runs them instead
+               "OCTOPUS_TPU_DEFER_HEAVY": os.environ.get(
+                   "OCTOPUS_TPU_DEFER_HEAVY_AT", "8")}
         # workers must not register the tunneled-TPU PJRT plugin (the
         # sitecustomize hook keys off this env var, runs at interpreter
         # start, and costs ~2.4s per process); spawn inherits the parent's
@@ -734,23 +744,71 @@ def _run_calling_main(args, components, reference, bams, samples,
         try:
             from concurrent.futures.process import BrokenProcessPool
             try:
+                from collections import deque
+                import concurrent.futures as cf
+                task_of = {w.key: t for w, t in zip(pending, tasks)}
+                todo = deque(pending)
+                inflight: dict = {}
+
+                deferred = deque()
+
+                def harvest(res):
+                    key, shard_path, n, tdelta = res
+                    window = window_of[key]
+                    if shard_path is None:      # worker declined: parent runs it
+                        deferred.append(window)
+                        return
+                    done[key] = shard_path
+                    _write_journal(journal_path, done)
+                    if queue is not None:
+                        queue.mark_done(key, {"shard": shard_path})
+                    nonlocal_records[0] += n
+                    for tk, tv in tdelta.items():
+                        timers._totals[tk] += tv
+                        timers._counts[tk] += 1
+                    progress.advance(window.end - window.begin)
+
+                nonlocal_records = [n_records]
                 with ProcessPoolExecutor(
                         max_workers=min(n_workers, len(pending)),
                         mp_context=mp.get_context("spawn"),
                         initializer=_process_worker_init,
                         initargs=(dict(vars(args)), env)) as ex:
-                    for key, shard_path, n, tdelta in ex.map(
-                            _process_worker_run, tasks):
-                        window = window_of[key]
-                        done[key] = shard_path
-                        _write_journal(journal_path, done)
-                        if queue is not None:
-                            queue.mark_done(key, {"shard": shard_path})
-                        n_records += n
-                        for tk, tv in tdelta.items():
-                            timers._totals[tk] += tv
-                            timers._counts[tk] += 1
-                        progress.advance(window.end - window.begin)
+                    # two tasks in flight per worker: workers never idle
+                    # while the parent is busy inside a stolen window
+                    for _ in range(min(2 * n_workers, len(todo))):
+                        w = todo.popleft()
+                        inflight[ex.submit(_process_worker_run,
+                                           task_of[w.key])] = w
+                    # the parent owns the TPU and runs ONLY the heavy
+                    # windows that workers decline (HeavyWindowDeferred):
+                    # dense clusters cost seconds on the accelerator vs
+                    # minutes on a CPU worker (the 10 Mb heavy tail,
+                    # BASELINE.md round 4). Light windows stay with the
+                    # CPU workers — the parent taking them too would just
+                    # oversubscribe the cores.
+                    while inflight or todo or deferred:
+                        while deferred:
+                            w = deferred.popleft()
+                            window, shard_path, n = run_one(w)
+                            harvest((w.key, shard_path, n, {}))
+                        if not inflight:
+                            if todo:        # workers all died? run inline
+                                w = todo.popleft()
+                                window, shard_path, n = run_one(w)
+                                harvest((w.key, shard_path, n, {}))
+                            continue
+                        done_futs, _ = cf.wait(
+                            list(inflight), return_when=cf.FIRST_COMPLETED)
+                        for f in done_futs:
+                            w = inflight.pop(f)
+                            harvest(f.result())
+                            if todo:
+                                nxt = todo.popleft()
+                                inflight[ex.submit(
+                                    _process_worker_run,
+                                    task_of[nxt.key])] = nxt
+                n_records = nonlocal_records[0]
             except BrokenProcessPool:
                 # spawn re-imports the caller's __main__; an unguarded
                 # driver script kills its own workers.  Fall back to the
