@@ -309,7 +309,7 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
     _install_compile_counter()
     from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
-    warm_kernels((150,))
+    warm_kernels((150,), pads=(8, 16))
     if mode in ("all", "cancer"):
         # the VB executable ladder (the run-level warm-up thread only
         # engages on >= 1 Mb runs; these benches are 100 kb)

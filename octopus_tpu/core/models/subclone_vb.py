@@ -176,7 +176,6 @@ class SubcloneModel:
         seeds = jnp.asarray(np.stack(seeds))                              # (S, K, Np)
         a0 = jnp.asarray(alpha0_vec, jnp.float32)
         mask_j = jnp.asarray(mask)
-        lnL_j = jnp.asarray(lnL_pad)
 
         run = jax.vmap(jax.vmap(
             lambda lnl, r0: _vb_single(lnl, a0, r0, n_iter=self.n_iter,
@@ -190,7 +189,12 @@ class SubcloneModel:
             if hi - lo < Gp:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[:1], Gp - (hi - lo), axis=0)])
-            lnl_gkn = lnL_j[jnp.asarray(chunk)]                           # (Gp, K, Np)
+            # gather on the HOST: a device gather's executable is keyed by
+            # the unbounded haplotype count H, so it recompiled per region
+            # (the residual cancer cold-wall compiles, BASELINE round 4);
+            # numpy indexing produces the same ladder-shaped (Gp, K, Np)
+            # input with no compile at all
+            lnl_gkn = jnp.asarray(lnL_pad[chunk])                         # (Gp, K, Np)
             e, al, _ = run(lnl_gkn, seeds)                                # (Gp, S), (Gp, S, K)
             elbo_parts.append(np.asarray(e, np.float64)[:hi - lo])
             alpha_parts.append(np.asarray(al)[:hi - lo])

@@ -621,7 +621,10 @@ def _start_warmup(caller_kind: str):
     def go():
         try:
             from .core.likelihood.likelihood_array import warm_kernels
-            warm_kernels((150,))
+            # both bands: indel candidates >7bp escalate to the 16-band
+            # kernel (select_band), and its first compile mid-run costs
+            # ~10-15s through the cacheless remote compiler
+            warm_kernels((150,), pads=(8, 16))
             if caller_kind in ("cancer", "polyclone", "cell"):
                 from .core.models.subclone_vb import warm_vb
                 seeds_iters = (((2, 40),) if caller_kind == "cancer"
