@@ -96,9 +96,12 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
             t0 = time.time()
             float(step(jax.random.fold_in(key, 2 * i + 1), QUEUE))
             tq = time.time() - t0
-            # K-difference cancels the per-call dispatch round trip exactly
+            # K-difference cancels the per-call dispatch round trip exactly;
+            # a rep where the tunnel hiccups can make tq <= t1 — drop it
+            # rather than emit a non-finite value
             per_batch = (tq - t1) / (QUEUE - 1)
-            marginals.append(B / per_batch if per_batch > 0 else float("inf"))
+            if per_batch > 0:
+                marginals.append(B / per_batch)
             singles.append(B / t1)
             # pipelined staging: issue PIPE queues back-to-back (async
             # dispatch, results read at the end) — the production launch
@@ -129,6 +132,7 @@ def bench_tpu(batches=(16384, 65536)) -> dict:
         series = bench_path("xla")
 
     def stats(xs):
+        xs = [x for x in xs if np.isfinite(x)] or [float("nan")]
         return {"median": float(np.median(xs)), "min": float(np.min(xs)),
                 "max": float(np.max(xs))}
 
