@@ -598,13 +598,47 @@ def _restrict_records(records, args):
     return records
 
 
-def _write_journal(path: str, done: dict) -> None:
-    """Atomic journal write: two hosts sharing one shard directory must
-    never interleave partial JSON (tmp + rename per writer)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(done, fh)
-    os.replace(tmp, path)
+def _write_journal(path: str, done: dict, key: str | None = None) -> None:
+    """Append-only completion journal (journal.jsonl): one line per
+    completed window.  Rewriting the whole dict per window was O(n^2)
+    bytes over a run — ~180 MB of writes at chr20 window counts, and a
+    genuine cliff at whole-genome scale.  Small single-line O_APPEND
+    writes are atomic on POSIX, so multi-host sharers never interleave
+    partial records; duplicate lines are harmless (last wins)."""
+    if key is None:                     # legacy full rewrite (no key known)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for k, v in done.items():
+                fh.write(json.dumps({"key": k, "shard": v}) + "\n")
+        os.replace(tmp, path)
+        return
+    with open(path, "a") as fh:
+        fh.write(json.dumps({"key": key, "shard": done[key]}) + "\n")
+        fh.flush()
+
+
+def _load_journal(path: str) -> dict:
+    """Read journal.jsonl (plus the pre-round-4 journal.json dict format
+    for resume compatibility)."""
+    done: dict[str, str] = {}
+    legacy = os.path.join(os.path.dirname(path), "journal.json")
+    if os.path.exists(legacy):
+        try:
+            done.update(json.load(open(legacy)))
+        except Exception:
+            pass
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    done[rec["key"]] = rec["shard"]
+                except Exception:
+                    continue            # torn final line after a crash
+    return done
 
 
 def _start_warmup(caller_kind: str):
@@ -656,14 +690,11 @@ def _run_calling_main(args, components, reference, bams, samples,
     shard_dir = (out_path + ".shards" if prefix == "octopus-temp"
                  else os.path.join(os.path.dirname(out_path) or ".",
                                    prefix + ".shards"))
-    journal_path = os.path.join(shard_dir, "journal.json")
+    journal_path = os.path.join(shard_dir, "journal.jsonl")
     os.makedirs(shard_dir, exist_ok=True)
     done: dict[str, str] = {}
-    if os.path.exists(journal_path) and getattr(args, "resume", True):
-        try:
-            done = json.load(open(journal_path))
-        except Exception:
-            done = {}
+    if getattr(args, "resume", True):
+        done = _load_journal(journal_path)
     progress = ProgressMeter(sum(w.end - w.begin for w in windows))
     caller_cache: dict[str, object] = {}
     caller_kind = components.caller_kind if components else getattr(args, "caller", "auto")
@@ -762,7 +793,7 @@ def _run_calling_main(args, components, reference, bams, samples,
                         deferred.append(window)
                         return
                     done[key] = shard_path
-                    _write_journal(journal_path, done)
+                    _write_journal(journal_path, done, key)
                     if queue is not None:
                         queue.mark_done(key, {"shard": shard_path})
                     nonlocal_records[0] += n
@@ -837,7 +868,7 @@ def _run_calling_main(args, components, reference, bams, samples,
             for window, shard_path, n in ex.map(run_one, pending):
                 with jlock:
                     done[window.key] = shard_path
-                    _write_journal(journal_path, done)
+                    _write_journal(journal_path, done, window.key)
                 if queue is not None:
                     queue.mark_done(window.key, {"shard": shard_path})
                 n_records += n
@@ -847,7 +878,7 @@ def _run_calling_main(args, components, reference, bams, samples,
             window, shard_path, n = run_one(window)
             n_records += n
             done[window.key] = shard_path
-            _write_journal(journal_path, done)
+            _write_journal(journal_path, done, window.key)
             if queue is not None:
                 queue.mark_done(window.key, {"shard": shard_path})
             progress.advance(window.end - window.begin)
