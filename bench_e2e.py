@@ -90,9 +90,10 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
         refc = hap_ref[i % 2]
         begin = int(rng.integers(0, len(hap) - read_len))
         s = list(hap[begin:begin + read_len])
-        for j in range(read_len):                     # 0.1% sequencing error
-            if rng.random() < 0.001:
-                s[j] = "ACGT"[rng.integers(0, 4)]
+        # 0.1% sequencing error (vectorised: the per-base python loop was
+        # the simulator's bottleneck at >= 10 Mb scales)
+        for j in np.flatnonzero(rng.random(read_len) < 0.001):
+            s[j] = "ACGT"[rng.integers(0, 4)]
         rc = refc[begin:begin + read_len]
         aligned = np.flatnonzero(rc >= 0)
         if not len(aligned):
