@@ -22,6 +22,11 @@ def _env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # the spawned processes run with cwd=tmp_path; make octopus_tpu
+    # importable whether or not the package is pip-installed
+    import octopus_tpu
+    repo_root = os.path.dirname(os.path.dirname(octopus_tpu.__file__))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 
