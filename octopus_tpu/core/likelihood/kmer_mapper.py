@@ -59,11 +59,28 @@ class HaplotypeKmerIndex:
 
         read_hashes_flat: concatenated K-mer hashes of all reads;
         read_offsets: (n_reads+1,) into it.  Returns a list of int arrays of
-        best mapping begin positions (may be empty).
-        """
+        best mapping begin positions (may be empty)."""
         n_reads = len(read_offsets) - 1
+        read_of, begin = self.map_reads_flat(read_hashes_flat, read_offsets,
+                                             max_positions)
+        counts = np.bincount(read_of, minlength=n_reads)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return [begin[offs[r]:offs[r + 1]] for r in range(n_reads)]
+
+    def map_reads_flat(
+        self,
+        read_hashes_flat: np.ndarray,
+        read_offsets: np.ndarray,
+        max_positions: int = MAX_MAPPING_POSITIONS,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Flat (read_index, begin) anchor pairs, grouped by read with
+        begins ascending within each read — the loop-free form
+        `_populate_sample` consumes directly."""
+        n_reads = len(read_offsets) - 1
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
         if self.n_kmers == 0 or len(read_hashes_flat) == 0:
-            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+            return empty
         q = read_hashes_flat
         # per query kmer: matching slice of self.positions
         lo = self.starts[q]
@@ -71,7 +88,7 @@ class HaplotypeKmerIndex:
         cnt = hi - lo
         total = int(cnt.sum())
         if total == 0:
-            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+            return empty
         # expand matches: for each query index i, positions[lo[i]:hi[i]]
         rep = np.repeat(np.arange(len(q)), cnt)
         intra = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -82,26 +99,25 @@ class HaplotypeKmerIndex:
         begin = hap_pos - j
         valid = begin >= 0
         read_of, begin = read_of[valid], begin[valid]
-        out: list[np.ndarray] = []
         if len(begin) == 0:
-            return [np.zeros(0, np.int64) for _ in range(n_reads)]
+            return empty
         # vote histogram per (read, begin)
         max_begin = int(begin.max()) + 1
         key = read_of * max_begin + begin
         votes = np.bincount(key, minlength=n_reads * max_begin).reshape(n_reads, max_begin)
         best = votes.max(axis=1)
-        # all argmax positions at once (row-major nonzero is grouped by read);
-        # best==0 rows would match every column, so compare against -1 there
+        # all argmax positions at once (row-major nonzero is grouped by read,
+        # begins ascending); best==0 rows would match every column, so
+        # compare against -1 there
         tgt = np.where(best > 0, best, -1)
         rows, cols = np.nonzero(votes == tgt[:, None])
+        # keep the first max_positions begins per read (ascending)
         counts = np.bincount(rows, minlength=n_reads)
         offs = np.zeros(n_reads + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
-        cols = cols.astype(np.int64)
-        for r in range(n_reads):
-            lo_r = offs[r]
-            out.append(cols[lo_r:lo_r + min(int(counts[r]), max_positions)])
-        return out
+        rank = np.arange(len(rows)) - offs[rows]
+        keep = rank < max_positions
+        return rows[keep].astype(np.int64), cols[keep].astype(np.int64)
 
 
 def read_kmer_hashes(seq_flat: np.ndarray, seq_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

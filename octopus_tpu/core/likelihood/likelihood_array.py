@@ -285,52 +285,72 @@ class HaplotypeLikelihoodArray:
             ]
             cached_pairs = set()
 
-        # gather candidate jobs: (hap, read, position)
-        job_hap: list[int] = []
-        job_read: list[int] = []
-        job_pos: list[int] = []
+        # gather candidate jobs: (hap, read, position) — loop-free per
+        # haplotype (the per-pair python loop was the top host cost at
+        # whole-genome scale)
+        jh_parts: list[np.ndarray] = []
+        jr_parts: list[np.ndarray] = []
+        jp_parts: list[np.ndarray] = []
+        all_reads = np.arange(n_reads)
         for h in range(H):
             hap_len = len(haplotypes[h])
-            anchors = indices[h].map_reads(hashes_flat, hash_offsets)
-            for r in range(n_reads):
-                if cache is not None:
-                    hit = cache.get((hap_keys[h], read_keys[r]))
+            read_of, begin = indices[h].map_reads_flat(hashes_flat,
+                                                       hash_offsets)
+            # need[r] = read r still needs scoring against h (no cache hit)
+            need = np.ones(n_reads, bool)
+            if cache is not None:
+                hk = hap_keys[h]
+                for r in range(n_reads):
+                    hit = cache.get((hk, read_keys[r]))
                     if hit is not None:
                         out[h, r] = hit
                         cached_pairs.add((h, r))
-                        continue
-                cand = anchors[r]
-                orig = int(original[r])
-                if orig not in cand:
-                    cand = np.concatenate((cand, [orig]))
-                # the band needs pad bases of LEFT window slack; the RIGHT
-                # side may overrun the haplotype end — _device_scores
-                # neutral-fills overflow cells (N bases, stiff gaps), so a
-                # read ending at the haplotype (= contig) end still scores
-                # its true alignment instead of being anchor-shifted out of
-                # band (which floored every read at the mismap cap)
-                in_range = cand[(cand >= pad) & (cand + lens[r] <= hap_len)]
-                if len(in_range) == 0:
-                    # shift the original position minimally into range
-                    pos = orig
-                    if pos < pad:
-                        pos = pad
-                    over = pos + int(lens[r]) - hap_len
-                    if over > 0:
-                        pos -= over
-                    if pos < pad or pos + int(lens[r]) > hap_len:
-                        raise ShortHaplotypeError(
-                            f"haplotype {h} too short for read {r} "
-                            f"(len {lens[r]}, hap {hap_len})"
-                        )
-                    in_range = np.asarray([pos])
-                for pos in in_range:
-                    job_hap.append(h)
-                    job_read.append(r)
-                    job_pos.append(int(pos))
-        job_hap = np.asarray(job_hap, np.int64)
-        job_read = np.asarray(job_read, np.int64)
-        job_pos = np.asarray(job_pos, np.int64)
+                        need[r] = False
+            # ensure each read's original mapped position is a candidate
+            M = max(hap_len, int(original.max()) + 1 if n_reads else 1) + 2
+            have_orig = np.isin(all_reads * M + original,
+                                read_of * M + begin)
+            missing = np.flatnonzero(~have_orig)
+            if len(missing):
+                read_of = np.concatenate([read_of, missing])
+                begin = np.concatenate([begin, original[missing]])
+            if cache is not None:
+                sel = need[read_of]
+                read_of, begin = read_of[sel], begin[sel]
+            # the band needs pad bases of LEFT window slack; the RIGHT side
+            # may overrun the haplotype end — _device_scores neutral-fills
+            # overflow cells (N bases, stiff gaps), so a read ending at the
+            # haplotype (= contig) end still scores its true alignment
+            # instead of being anchor-shifted out of band (which floored
+            # every read at the mismap cap)
+            ok = (begin >= pad) & (begin + lens[read_of] <= hap_len)
+            # reads needing scoring with zero in-range candidates: shift the
+            # original position minimally into range
+            cnt_ok = np.bincount(read_of[ok], minlength=n_reads)
+            none_r = np.flatnonzero(need & (cnt_ok == 0))
+            read_of, begin = read_of[ok], begin[ok]
+            if len(none_r):
+                pos = np.maximum(original[none_r], pad)
+                over = pos + lens[none_r] - hap_len
+                pos = np.where(over > 0, pos - over, pos)
+                bad = (pos < pad) | (pos + lens[none_r] > hap_len)
+                if bad.any():
+                    r = int(none_r[np.argmax(bad)])
+                    raise ShortHaplotypeError(
+                        f"haplotype {h} too short for read {r} "
+                        f"(len {lens[r]}, hap {hap_len})"
+                    )
+                read_of = np.concatenate([read_of, none_r])
+                begin = np.concatenate([begin, pos])
+            jh_parts.append(np.full(len(read_of), h, np.int64))
+            jr_parts.append(read_of.astype(np.int64))
+            jp_parts.append(begin.astype(np.int64))
+        job_hap = (np.concatenate(jh_parts) if jh_parts
+                   else np.zeros(0, np.int64))
+        job_read = (np.concatenate(jr_parts) if jr_parts
+                    else np.zeros(0, np.int64))
+        job_pos = (np.concatenate(jp_parts) if jp_parts
+                   else np.zeros(0, np.int64))
 
         # evaluate all jobs grouped by read-length bucket (lengths padded up
         # to the bucket size with PAD_CODE/qual-0, which is score-exact)
@@ -442,20 +462,24 @@ class HaplotypeLikelihoodArray:
             ge = np.empty(len(rows), np.int64)
             capped = q.copy()
             in_flank = np.zeros(len(rows), bool)
-            for k, row in enumerate(rows):
-                h = job_hap[row]
+            row_hap = job_hap[rows]
+            for h in np.unique(row_hap):
+                ksel = np.flatnonzero(row_hap == h)
                 p = penalties[h]
-                ti = int(truth_idx[k])
-                go[k] = p.gap_open[ti]
-                ge[k] = p.gap_extend[ti]
-                mask = p.snv_mask_rev if is_rev[job_read[row]] else p.snv_mask_fwd
-                prior = p.snv_prior_rev if is_rev[job_read[row]] else p.snv_prior_fwd
-                if mask is not None and mask[ti] == tgt[row, i[k]]:
-                    capped[k] = min(capped[k], int(prior[ti]))
+                ti = truth_idx[ksel]
+                go[ksel] = p.gap_open[ti]
+                ge[ksel] = p.gap_extend[ti]
+                if p.snv_mask_fwd is not None:
+                    rev = is_rev[job_read[rows[ksel]]]
+                    m = np.where(rev, p.snv_mask_rev[ti], p.snv_mask_fwd[ti])
+                    pr = np.where(rev, p.snv_prior_rev[ti], p.snv_prior_fwd[ti])
+                    hitm = m == tgt[rows[ksel], i[ksel]]
+                    capped[ksel] = np.where(
+                        hitm, np.minimum(capped[ksel], pr), capped[ksel])
                 if flank_state is not None and cfg.use_flank_state:
                     hl = len(haplotypes[h])
-                    if ti < flank_state.lhs_flank or ti >= hl - flank_state.rhs_flank:
-                        in_flank[k] = True
+                    in_flank[ksel] = ((ti < flank_state.lhs_flank)
+                                      | (ti >= hl - flank_state.rhs_flank))
             # suffix equality checks for single-base shifts
             w1 = np.empty((len(rows), L), np.int16)
             for h in np.unique(job_hap[rows]):

@@ -112,21 +112,35 @@ class ContextIndelModel:
         from ...utils.tandem import extract_exact_tandem_repeats_arrays
         reps = extract_exact_tandem_repeats_arrays(
             ref_codes, 1, min(params.max_period, 5))
-        for pos0, length, per in reps:
-            num = int(length) // int(per)
-            if num < 1:
-                continue
-            num = min(num, params.max_periodicity)
-            open_p = cell_open[per, num]
-            # only the first period of the tract carries the enriched state
-            lo, hi = int(pos0), min(int(pos0) + int(per), n)
-            upd = self.gap_open[lo:hi] < open_p
-            if upd.any():
-                idx = np.flatnonzero(upd) + lo
-                self.gap_open[idx] = open_p
-                self.gap_extend[idx] = cell_extend[per, num]
-                self.period[idx] = per
-                self.num_periods[idx] = num
+        if len(reps):
+            # vectorised form of the sequential update loop: each position
+            # ends with the max open probability among covering tracts
+            # (ties -> the earliest tract, as the sequential `<` check
+            # never overwrites an equal value); only the first period of
+            # each tract carries the enriched state (:89-97)
+            pos0 = reps[:, 0].astype(np.int64)
+            per = reps[:, 2].astype(np.int64)
+            num = np.minimum(reps[:, 1] // reps[:, 2],
+                             params.max_periodicity).astype(np.int64)
+            keep = num >= 1
+            pos0, per, num = pos0[keep], per[keep], num[keep]
+            span = np.minimum(pos0 + per, n) - pos0
+            rep_of = np.repeat(np.arange(len(pos0)), span)
+            pos = (np.arange(int(span.sum()))
+                   - np.repeat(np.cumsum(span) - span, span)
+                   + pos0[rep_of])
+            open_p = cell_open[per, num][rep_of]
+            order = np.lexsort((rep_of, -open_p, pos))
+            _, first = np.unique(pos[order], return_index=True)
+            win = order[first]
+            win = win[open_p[win] > base_open]
+            if len(win):
+                idx = pos[win]
+                wrep = rep_of[win]
+                self.gap_open[idx] = open_p[win]
+                self.gap_extend[idx] = cell_extend[per[wrep], num[wrep]]
+                self.period[idx] = per[wrep]
+                self.num_periods[idx] = num[wrep]
 
     def indel_probability(self, pos: int, length: int) -> float:
         """P(indel of `length` bases at `pos`) = open * prod extensions."""
