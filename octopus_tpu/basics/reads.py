@@ -115,6 +115,12 @@ class ReadBatch:
         index = np.asarray(index)
         if index.dtype == bool:
             index = np.flatnonzero(index)
+        # contiguous-run fast path (the common case for overlapping() on
+        # begin-sorted batches): sliced memcpy instead of ragged gathers
+        n = len(index)
+        if n and int(index[-1]) - int(index[0]) + 1 == n \
+                and (n == 1 or np.all(np.diff(index) == 1)):
+            return self._take_slice(int(index[0]), int(index[-1]) + 1)
         # ragged gathers
         lens = self.lengths()
         new_lens = lens[index]
@@ -147,6 +153,36 @@ class ReadBatch:
             template_lengths=None if self.template_lengths is None else self.template_lengths[index],
             names=None if self.names is None else [self.names[int(i)] for i in index],
             name_hashes=None if self.name_hashes is None else self.name_hashes[index],
+            aux=aux,
+            aux_offsets=aux_offsets,
+        )
+
+    def _take_slice(self, i0: int, i1: int) -> "ReadBatch":
+        """take() for a contiguous index run [i0, i1): copied slices."""
+        s0, s1 = int(self.seq_offsets[i0]), int(self.seq_offsets[i1])
+        c0, c1 = int(self.cigar_offsets[i0]), int(self.cigar_offsets[i1])
+        aux = aux_offsets = None
+        if self.aux is not None:
+            a0, a1 = int(self.aux_offsets[i0]), int(self.aux_offsets[i1])
+            aux = self.aux[a0:a1].copy()
+            aux_offsets = self.aux_offsets[i0:i1 + 1] - a0
+        opt = lambda a: None if a is None else a[i0:i1].copy()
+        return ReadBatch(
+            contig=self.contig,
+            begins=self.begins[i0:i1].copy(),
+            ends=self.ends[i0:i1].copy(),
+            mapq=self.mapq[i0:i1].copy(),
+            flags=self.flags[i0:i1].copy(),
+            seq=self.seq[s0:s1].copy(),
+            quals=self.quals[s0:s1].copy(),
+            seq_offsets=self.seq_offsets[i0:i1 + 1] - s0,
+            cigar_ops=self.cigar_ops[c0:c1].copy(),
+            cigar_offsets=self.cigar_offsets[i0:i1 + 1] - c0,
+            mate_begins=opt(self.mate_begins),
+            mate_same_contig=opt(self.mate_same_contig),
+            template_lengths=opt(self.template_lengths),
+            names=None if self.names is None else self.names[i0:i1],
+            name_hashes=opt(self.name_hashes),
             aux=aux,
             aux_offsets=aux_offsets,
         )

@@ -16,7 +16,7 @@ import numpy as np
 
 from ...basics import cigar as cg
 from ...basics.reads import ReadBatch
-from ...utils.tandem import extract_exact_tandem_repeats
+from ...utils.tandem import extract_exact_tandem_repeats_arrays
 from ..types.variants import Variant, left_align
 
 
@@ -38,9 +38,10 @@ class RepeatScanner:
     def generate(self, batch: ReadBatch, begin: int, end: int) -> list[Variant]:
         opt = self.options
         ref_codes = self.reference.fetch_codes(self.contig, begin, end)
-        repeats = [r for r in extract_exact_tandem_repeats(ref_codes, 1, opt.max_period)
-                   if r.length >= opt.min_tract_length]
-        if not repeats:
+        reps = extract_exact_tandem_repeats_arrays(ref_codes, 1,
+                                                   opt.max_period)
+        reps = reps[reps[:, 1] >= opt.min_tract_length]
+        if not len(reps):
             return []
         fetch = lambda b, e: self.reference.fetch_codes(self.contig, b, e)
         out: dict[Variant, int] = {}
@@ -59,9 +60,10 @@ class RepeatScanner:
             indel_reads = batch.take(np.flatnonzero(per_read > 0))
         else:
             indel_reads = batch
-        for r in repeats:
-            tract = (begin + r.pos, begin + r.pos + r.length)
-            depth_of[tract] = len(batch.overlapping(*tract))
+        for r_pos, r_length, r_period in reps:
+            tract = (begin + int(r_pos), begin + int(r_pos) + int(r_length))
+            depth_of[tract] = int(((batch.begins < tract[1])
+                                   & (batch.ends > tract[0])).sum())
             over = indel_reads.overlapping(*tract)
             for i in range(len(over)):
                 pos = int(over.begins[i])
@@ -73,14 +75,14 @@ class RepeatScanner:
                         pos += length
                         q += length
                     elif op == cg.I:
-                        if tract[0] <= pos < tract[1] and length % r.period == 0:
+                        if tract[0] <= pos < tract[1] and length % int(r_period) == 0:
                             v = Variant.make(tract[0], np.zeros(0, np.uint8),
                                              seq[q:q + length])
                             v = left_align(v, fetch)
                             out[v] = out.get(v, 0) + 1
                         q += length
                     elif op == cg.D:
-                        if tract[0] <= pos < tract[1] and length % r.period == 0 \
+                        if tract[0] <= pos < tract[1] and length % int(r_period) == 0 \
                                 and pos + length <= tract[1]:
                             ref_seg = self.reference.fetch_codes(
                                 self.contig, tract[0], tract[0] + length)

@@ -217,25 +217,40 @@ def is_not_duplicate(batch: ReadBatch, candidate: np.ndarray | None = None) -> n
     n = len(batch)
     if candidate is None:
         candidate = np.ones(n, bool)
-    lens = batch.lengths()
-    read_of_base = np.repeat(np.arange(n), lens)
-    qsums = np.zeros(n, np.int64)
-    np.add.at(qsums, read_of_base, batch.quals.astype(np.int64))
+    keep = np.ones(n, bool)
+    cand_idx = np.flatnonzero(candidate)
+    if len(cand_idx) < 2:
+        return keep
     is_rev = batch.is_reverse()
     five_prime = np.where(is_rev, batch.ends, batch.begins)
-    mate = batch.mate_begins if batch.mate_begins is not None else np.zeros(n, np.int64)
+    mate = (batch.mate_begins if batch.mate_begins is not None
+            else np.zeros(n, np.int64))
+    # cheap vectorised pre-group on (5' position, strand, mate begin);
+    # the exact (cigar-comparing) python pass only visits reads whose
+    # pre-group actually collides — the large majority never do
+    cols = np.stack([five_prime[cand_idx].astype(np.int64),
+                     is_rev[cand_idx].astype(np.int64),
+                     np.asarray(mate)[cand_idx].astype(np.int64)], axis=1)
+    _, inverse, counts = np.unique(cols, axis=0, return_inverse=True,
+                                   return_counts=True)
+    collided = cand_idx[counts[inverse] > 1]
+    if not len(collided):
+        return keep
+    quals64 = batch.quals.astype(np.int64)
     keys = {}
-    keep = np.ones(n, bool)
-    for i in np.flatnonzero(candidate):
+    for i in collided:
         i = int(i)
+        s0, s1 = batch.seq_offsets[i], batch.seq_offsets[i + 1]
         key = (int(five_prime[i]), bool(is_rev[i]),
                batch.cigar(i).tobytes(), int(mate[i]))
         best = keys.get(key)
         if best is None:
-            keys[key] = i
-        elif qsums[i] > qsums[best]:
-            keep[best] = False
-            keys[key] = i
+            keys[key] = (i, int(quals64[s0:s1].sum()))
+            continue
+        qsum = int(quals64[s0:s1].sum())
+        if qsum > best[1]:
+            keep[best[0]] = False
+            keys[key] = (i, qsum)
         else:
             keep[i] = False
     return keep
