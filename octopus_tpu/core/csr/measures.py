@@ -29,6 +29,25 @@ from dataclasses import dataclass, field
 
 import numpy as np
 from scipy import stats as sps
+from scipy import special as _sp
+
+
+def _beta_cdf(x, a, b) -> float:
+    """Beta CDF via the regularised incomplete beta ufunc (the frozen
+    scipy.stats call costs ~100x more in construction overhead)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    return float(_sp.betainc(a, b, x))
+
+
+def _beta_sf(x, a, b) -> float:
+    if x <= 0.0:
+        return 1.0
+    if x >= 1.0:
+        return 0.0
+    return float(_sp.betainc(b, a, 1.0 - x))
 
 _log = logging.getLogger("octopus_tpu")
 
@@ -340,9 +359,19 @@ def _strand_bias_prob(f1: int, r1: int, f2: int, r2: int,
     than the integration itself) + memoised on the small-count tuples.
     """
     x = _SB_GRID
-    pdf1 = sps.beta.pdf(x, f1 + 1, r1 + 1)
-    tail = (sps.beta.cdf(x - min_diff, f2 + 1, r2 + 1)
-            + sps.beta.sf(x + min_diff, f2 + 1, r2 + 1))
+    a1, b1 = f1 + 1, r1 + 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pdf1 = np.exp((a1 - 1) * np.log(x) + (b1 - 1) * np.log1p(-x)
+                      - _sp.betaln(a1, b1))
+    pdf1 = np.nan_to_num(pdf1, nan=0.0, posinf=0.0)
+    if a1 == 1:
+        pdf1[0] = b1          # x=0 boundary value of Beta(1, b1)
+    if b1 == 1:
+        pdf1[-1] = a1
+    a2, b2 = f2 + 1, r2 + 1
+    lo = np.clip(x - min_diff, 0.0, 1.0)
+    hi = np.clip(x + min_diff, 0.0, 1.0)
+    tail = _sp.betainc(a2, b2, lo) + (1.0 - _sp.betainc(a2, b2, hi))
     return float(min(max(np.trapezoid(pdf1 * tail, x), 0.0), 1.0))
 
 
@@ -357,8 +386,8 @@ def _strand_diseq(fwd: int, rev: int, tail_mass: float = 0.01) -> float:
     previous 1 - two-sided-binomial-p statistic fired on ~10% of good
     calls by chance — the cancer bench's 8% missed somatics were all
     'SD > 0.9' threshold kills of correctly-called sites.)"""
-    return float(sps.beta.cdf(tail_mass, fwd + 0.5, rev + 0.5)
-                 + sps.beta.sf(1.0 - tail_mass, fwd + 0.5, rev + 0.5))
+    return float(_beta_cdf(tail_mass, fwd + 0.5, rev + 0.5)
+                 + _beta_sf(1.0 - tail_mass, fwd + 0.5, rev + 0.5))
 
 
 def _min_tail(entry: dict, key: str, val, worst=min) -> None:
@@ -417,69 +446,54 @@ def _assign_tail_bias(sup, vb: int, ve: int, tail_frac: float = 0.03) -> float:
     """RTB over one allele's assigned support (read_tail_bias.cpp:60-110):
     beta_cdf(head+1, tail+1, min(3*tail_frac, 0.5)) where tail is the last
     tail_bases of each containing read in sequencing direction."""
-    head = tail = 0
-    for k in range(len(sup)):
-        rb, re = int(sup.begins[k]), int(sup.ends[k])
-        if not (rb <= vb and ve <= re):
-            continue
-        tail_bases = max(int(sup.seq_lengths[k] * tail_frac), 1)
-        if sup.is_forward[k]:
-            in_tail = vb >= re - tail_bases
-        else:
-            in_tail = ve <= rb + tail_bases
-        if in_tail:
-            tail += 1
-        else:
-            head += 1
-    return float(sps.beta.cdf(min(3 * tail_frac, 0.5), head + 1, tail + 1))
+    rb, re = sup.begins, sup.ends
+    contains = (rb <= vb) & (ve <= re)
+    tail_bases = np.maximum((sup.seq_lengths * tail_frac).astype(np.int64), 1)
+    in_tail = np.where(sup.is_forward, vb >= re - tail_bases,
+                        ve <= rb + tail_bases)
+    tail = int((contains & in_tail).sum())
+    head = int(contains.sum()) - tail
+    return _beta_cdf(min(3 * tail_frac, 0.5), head + 1, tail + 1)
 
 
 def _assign_end_bias(sup, vb: int, ve: int, end_frac: float = 0.03) -> float:
     """REB (read_end_bias.cpp:52-121): like RTB but 'end' means EITHER read
     end; beta_cdf(middle+1, end+1, min(3*end_frac, 0.5))."""
-    middle = end_n = 0
-    for k in range(len(sup)):
-        rb, re = int(sup.begins[k]), int(sup.ends[k])
-        if not (rb <= vb and ve <= re):
-            continue
-        end_bases = max(int(sup.seq_lengths[k] * end_frac), 1)
-        in_end = (ve <= rb + end_bases) or (vb >= re - end_bases)
-        if in_end:
-            end_n += 1
-        else:
-            middle += 1
-    return float(sps.beta.cdf(min(3 * end_frac, 0.5), middle + 1, end_n + 1))
+    rb, re = sup.begins, sup.ends
+    contains = (rb <= vb) & (ve <= re)
+    end_bases = np.maximum((sup.seq_lengths * end_frac).astype(np.int64), 1)
+    in_end = (ve <= rb + end_bases) | (vb >= re - end_bases)
+    end_n = int((contains & in_end).sum())
+    middle = int(contains.sum()) - end_n
+    return _beta_cdf(min(3 * end_frac, 0.5), middle + 1, end_n + 1)
 
 
 def _assign_side_bias(sup, vb: int, ve: int, tolerance: float = 0.5) -> float:
     """RSB (read_side_bias.cpp:37-85): strand-aware left/right placement;
     P(lhs fraction outside [0.5 - tol/2, 0.5 + tol/2]) under
     Beta(lhs+1, rhs+1)."""
-    fwd_head = fwd_tail = rev_head = rev_tail = 0
     size = ve - vb
-    for k in range(len(sup)):
-        rb, re = int(sup.begins[k]), int(sup.ends[k])
-        if not (rb < ve and vb < re):
-            continue
-        read_size = re - rb
-        rhs = vb < re and ve > rb + read_size // 2   # overlaps right half
-        fwd = bool(sup.is_forward[k])
-        if size >= read_size // 2:
-            h = t = 1
-        elif rhs:
-            h, t = (0, 1) if fwd else (1, 0)
-        else:
-            h, t = (1, 0) if fwd else (0, 1)
-        if fwd:
-            fwd_head += h
-            fwd_tail += t
-        else:
-            rev_head += h
-            rev_tail += t
+    rb, re = sup.begins, sup.ends
+    over = (rb < ve) & (vb < re)
+    read_size = re - rb
+    rhs = (vb < re) & (ve > rb + read_size // 2)   # overlaps right half
+    fwd = sup.is_forward.astype(bool)
+    big = size >= read_size // 2
+    # per-read (head, tail) contribution: big -> (1, 1); else rhs XOR
+    # strand decides which side gets the single count
+    base_h = np.where(rhs, np.where(fwd, 0, 1), np.where(fwd, 1, 0))
+    h = np.where(big, 1, base_h)
+    t = np.where(big, 1, 1 - base_h)
+    sel_f = over & fwd
+    sel_r = over & ~fwd
+    fwd_head = int(h[sel_f].sum())
+    fwd_tail = int(t[sel_f].sum())
+    rev_head = int(h[sel_r].sum())
+    rev_tail = int(t[sel_r].sum())
     lhs = fwd_head + rev_tail
     rhs_n = fwd_tail + rev_head
-    p_l = float(sps.beta.sf(0.5 + tolerance / 2, lhs + 1, rhs_n + 1))
-    p_r = float(sps.beta.cdf(0.5 - tolerance / 2, lhs + 1, rhs_n + 1))
+    p_l = _beta_sf(0.5 + tolerance / 2, lhs + 1, rhs_n + 1)
+    p_r = _beta_cdf(0.5 - tolerance / 2, lhs + 1, rhs_n + 1)
     return p_l + p_r
 
 
