@@ -76,6 +76,21 @@ def warm_kernels(read_lengths=(150,), pad: int = 8, pads=None) -> None:
                     np.zeros((B, W), np.int32), pad=p)
 
 
+_BACKEND: str | None = None
+
+
+def _device_backend() -> str:
+    """The JAX default backend ('tpu'/'cpu'/...), cached per process."""
+    global _BACKEND
+    if _BACKEND is None:
+        try:
+            import jax
+            _BACKEND = jax.default_backend()
+        except Exception:  # pragma: no cover
+            _BACKEND = "cpu"
+    return _BACKEND
+
+
 BAND_BUCKETS = (8, 16, 32)
 
 
@@ -665,10 +680,149 @@ class HaplotypeLikelihoodArray:
         return np.frombuffer(raw, np.int32)
 
 
+def populate_assignment_blocks(jobs, config: LikelihoodConfig | None = None
+                               ) -> list[np.ndarray]:
+    """Score many small (reads x called-haplotypes) assignment blocks in a
+    few merged evaluations.
+
+    jobs: list of (ReadBatch, [hap_codes], [subst_mask], hap_begin, pad).
+    Per job the result equals
+    ``HaplotypeLikelihoodArray(config).populate([batch], haps, hap_begin,
+    substitution_masks=masks, pad=pad).sample_matrix(0)`` — candidate
+    anchors, scores and the per-job MQ mixture are identical; the merge
+    only amortises per-call host overhead and turns hundreds of micro
+    evaluations (one per CSR facet block) into device-sized batches.
+    """
+    from ...basics.reads import ReadBatch
+
+    arr = HaplotypeLikelihoodArray(config)
+    arr._pooled_cap_trig = None
+    cfg = arr.config
+    results: list = [None] * len(jobs)
+    by_pad: dict[int, list[int]] = {}
+    for idx, (batch, haps, _masks, _hb, pad) in enumerate(jobs):
+        if len(batch) == 0 or not haps:
+            results[idx] = np.zeros((len(haps), len(batch)), np.float64)
+        else:
+            by_pad.setdefault(int(pad), []).append(idx)
+    for pad, group in by_pad.items():
+        merged = ReadBatch.concatenate([jobs[i][0] for i in group])
+        read_counts = np.asarray([len(jobs[i][0]) for i in group], np.int64)
+        read_base = np.zeros(len(group) + 1, np.int64)
+        np.cumsum(read_counts, out=read_base[1:])
+        haps_g: list = []
+        pens: list = []
+        kidx: list = []
+        hap_of_job: list[list[int]] = []
+        for gi, i in enumerate(group):
+            ids = []
+            for codes, mask in zip(jobs[i][1], jobs[i][2]):
+                ids.append(len(haps_g))
+                haps_g.append(codes)
+                pens.append(arr._haplotype_penalties(codes, mask))
+                kidx.append(arr._kmer_index(codes))
+            hap_of_job.append(ids)
+        hashes_flat, hash_offsets = read_kmer_hashes(merged.seq,
+                                                     merged.seq_offsets)
+        lens = merged.lengths()
+        job_of_read = np.repeat(np.arange(len(group)), read_counts)
+        hb = np.asarray([jobs[i][3] for i in group], np.int64)
+        original = np.maximum(merged.begins - hb[job_of_read], 0)
+        is_rev = merged.is_reverse()
+        jh_parts, jr_parts, jp_parts = [], [], []
+        for gi, i in enumerate(group):
+            r0, r1 = int(read_base[gi]), int(read_base[gi + 1])
+            ho = hash_offsets[r0:r1 + 1]
+            local_hashes = hashes_flat[ho[0]:ho[-1]]
+            local_offsets = ho - ho[0]
+            local_orig = original[r0:r1]
+            local_lens = lens[r0:r1]
+            nr = r1 - r0
+            loc_reads = np.arange(nr)
+            for hg in hap_of_job[gi]:
+                hap_len = len(haps_g[hg])
+                read_of, begin = kidx[hg].map_reads_flat(local_hashes,
+                                                         local_offsets)
+                M = max(hap_len, int(local_orig.max()) + 1) + 2
+                have = np.isin(loc_reads * M + local_orig,
+                               read_of * M + begin)
+                missing = np.flatnonzero(~have)
+                if len(missing):
+                    read_of = np.concatenate([read_of, missing])
+                    begin = np.concatenate([begin, local_orig[missing]])
+                ok = (begin >= pad) & (begin + local_lens[read_of] <= hap_len)
+                cnt_ok = np.bincount(read_of[ok], minlength=nr)
+                none_r = np.flatnonzero(cnt_ok == 0)
+                read_of, begin = read_of[ok], begin[ok]
+                if len(none_r):
+                    pos = np.maximum(local_orig[none_r], pad)
+                    over = pos + local_lens[none_r] - hap_len
+                    pos = np.where(over > 0, pos - over, pos)
+                    bad = (pos < pad) | (pos + local_lens[none_r] > hap_len)
+                    if bad.any():
+                        raise ShortHaplotypeError(
+                            f"assignment-block haplotype too short "
+                            f"(hap {hap_len}, job {i})")
+                    read_of = np.concatenate([read_of, none_r])
+                    begin = np.concatenate([begin, pos])
+                jh_parts.append(np.full(len(read_of), hg, np.int64))
+                jr_parts.append(read_of.astype(np.int64) + r0)
+                jp_parts.append(begin.astype(np.int64))
+        job_hap = (np.concatenate(jh_parts) if jh_parts
+                   else np.zeros(0, np.int64))
+        job_read = (np.concatenate(jr_parts) if jr_parts
+                    else np.zeros(0, np.int64))
+        job_pos = (np.concatenate(jp_parts) if jp_parts
+                   else np.zeros(0, np.int64))
+        job_ln = np.full(len(job_hap), -np.inf, np.float64)
+        job_lens = lens[job_read]
+        bucket = cfg.length_bucket
+        job_bucket = -(-job_lens // bucket) * bucket
+        for L in np.unique(job_bucket):
+            sel = np.flatnonzero(job_bucket == L)
+            job_ln[sel] = arr._eval_jobs_fixed_len(
+                merged, haps_g, pens, int(L), job_hap[sel], job_read[sel],
+                job_pos[sel], job_lens[sel], None, pad, is_rev)
+        # scatter into per-job (n_haps, n_reads) matrices through one flat
+        # block buffer (max over candidate anchors per pair)
+        nh = np.asarray([len(ids) for ids in hap_of_job], np.int64)
+        hap_base = np.zeros(len(group) + 1, np.int64)
+        np.cumsum(nh, out=hap_base[1:])
+        blk_sizes = nh * read_counts
+        blk_base = np.zeros(len(group) + 1, np.int64)
+        np.cumsum(blk_sizes, out=blk_base[1:])
+        flat = np.full(int(blk_base[-1]), -np.inf, np.float64)
+        gi_of_pair = job_of_read[job_read]
+        loc_h = job_hap - hap_base[gi_of_pair]
+        loc_r = job_read - read_base[gi_of_pair]
+        flat_idx = (blk_base[gi_of_pair] + loc_h * read_counts[gi_of_pair]
+                    + loc_r)
+        np.maximum.at(flat, flat_idx, job_ln)
+        for gi, i in enumerate(group):
+            out = flat[blk_base[gi]:blk_base[gi + 1]].reshape(
+                int(nh[gi]), int(read_counts[gi])).copy()
+            if cfg.use_mapping_quality:
+                sub = jobs[i][0]
+                mq = sub.mapq.astype(np.float64)
+                cap, trig = arr._mq_cap_and_trigger(sub)
+                if trig is not None and trig < cap:
+                    mq = np.where(mq >= trig, cap, mq)
+                ln_miss = -LN10_DIV_10 * mq
+                ln_mapped = np.log1p(-np.exp(ln_miss))
+                a = ln_mapped[None, :] + out
+                hi = np.maximum(a, ln_miss[None, :])
+                lo = np.minimum(a, ln_miss[None, :])
+                out = hi + np.log1p(np.exp(lo - hi))
+            out[out > -1e-15] = 0.0
+            results[i] = out
+    return results
+
+
 __all__ = [
     "HaplotypeLikelihoodArray",
     "warm_kernels",
     "BATCH_LADDER",
     "LikelihoodConfig",
     "FlankState",
+    "populate_assignment_blocks",
 ]

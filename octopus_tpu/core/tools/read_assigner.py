@@ -30,6 +30,22 @@ class Assignment:
     log_likelihoods: np.ndarray | None = None  # (n_reads,) best-hap lnL
 
 
+def _assignment_from_matrix(lnL: np.ndarray, unique_haps: list[int],
+                            ambiguous_margin: float = 1e-9) -> Assignment:
+    """(n_unique, n_reads) likelihood matrix -> Assignment (argmax with
+    tie -> ambiguous policy)."""
+    best = np.argmax(lnL, axis=0)
+    sorted_l = np.sort(lnL, axis=0)
+    ambiguous = (len(unique_haps) > 1) & (
+        sorted_l[-1] - sorted_l[-2] <= ambiguous_margin) \
+        if len(unique_haps) > 1 else np.zeros(lnL.shape[1], bool)
+    hap_of_read = np.asarray([unique_haps[b] for b in best])
+    hap_of_read[ambiguous] = -1
+    support = {h: np.flatnonzero(hap_of_read == h) for h in unique_haps}
+    best_lnl = lnL[best, np.arange(lnL.shape[1])] if lnL.size else np.zeros(0)
+    return Assignment(hap_of_read, support, best_lnl)
+
+
 def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
                  genotype: list[int], hap_begin: int,
                  config: LikelihoodConfig | None = None,
@@ -49,15 +65,33 @@ def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
     arr.populate([batch], seqs, hap_begin, substitution_masks=masks,
                  pad=band)
     lnL = arr.sample_matrix(0)           # (n_unique, n_reads)
-    best = np.argmax(lnL, axis=0)
-    sorted_l = np.sort(lnL, axis=0)
-    ambiguous = (len(unique_haps) > 1) & (
-        sorted_l[-1] - sorted_l[-2] <= ambiguous_margin) if len(unique_haps) > 1 else np.zeros(lnL.shape[1], bool)
-    hap_of_read = np.asarray([unique_haps[b] for b in best])
-    hap_of_read[ambiguous] = -1
-    support = {h: np.flatnonzero(hap_of_read == h) for h in unique_haps}
-    best_lnl = lnL[best, np.arange(lnL.shape[1])] if lnL.size else np.zeros(0)
-    return Assignment(hap_of_read, support, best_lnl)
+    return _assignment_from_matrix(lnL, unique_haps, ambiguous_margin)
+
+
+def assign_reads_grouped(jobs, config: LikelihoodConfig | None = None,
+                         ambiguous_margin: float = 1e-9) -> list[Assignment]:
+    """Batch form of assign_reads over many independent blocks.
+
+    jobs: list of (batch, haplotypes, hap_begin) — every haplotype of each
+    job participates (the CSR ReadAssignments facet's shape).  Scores are
+    identical to per-job assign_reads; the merged evaluation amortises the
+    per-block host overhead (one merged evaluation per band instead of one
+    per facet block) and produces device-sized batches.
+    """
+    from ..likelihood.likelihood_array import (
+        populate_assignment_blocks, select_band)
+    cfg = config or LikelihoodConfig()
+    packed = []
+    for batch, haplotypes, hap_begin in jobs:
+        seqs = [h.sequence for h in haplotypes]
+        masks = [h.substitution_mask() for h in haplotypes]
+        band = select_band([v for h in haplotypes for v in h.variants],
+                           cfg.max_indel_error)
+        packed.append((batch, seqs, masks, hap_begin, band))
+    mats = populate_assignment_blocks(packed, cfg)
+    return [_assignment_from_matrix(lnL, list(range(len(haplotypes))),
+                                    ambiguous_margin)
+            for (batch, haplotypes, _), lnL in zip(jobs, mats)]
 
 
 def realign_read_to_haplotype(batch: ReadBatch, read_idx: int,

@@ -1155,7 +1155,38 @@ def _make_facet_bundles(calls, window, reference, batches_by_sample,
         for c in group:
             facet_of_call[id(c)] = bundle
             phase_len[id(c)] = span
+    _precompute_read_assignments(set(facet_of_call.values()))
     return facet_of_call, phase_len
+
+
+def _precompute_read_assignments(bundles) -> None:
+    """Batch all facet bundles' HMM read-assignment jobs into one grouped
+    evaluation (scores identical to the lazy per-block path; the merge
+    amortises per-block host overhead and yields device-sized batches).
+    On any failure the bundles keep their lazy per-block computation."""
+    from .core.tools.read_assigner import assign_reads_grouped
+    jobs, slots = [], []
+    try:
+        for bundle in bundles:
+            lo, _ = bundle.reference_context
+            for si, (b, haps) in enumerate(
+                    zip(bundle.overlapping_reads,
+                        bundle.called_haplotypes_by_sample)):
+                if len(b):
+                    jobs.append((b, haps, lo))
+                    slots.append((bundle, si))
+        if not jobs:
+            return
+        assignments = assign_reads_grouped(jobs)
+    except Exception:
+        return
+    per_bundle: dict[int, dict] = {}
+    for (bundle, si), a in zip(slots, assignments):
+        per_bundle.setdefault(id(bundle), {})[si] = a
+    for bundle in bundles:
+        d = per_bundle.get(id(bundle), {})
+        bundle.__dict__["read_assignments"] = [
+            d.get(si) for si in range(len(bundle.block.samples))]
 
 
 def _reconcile_shards(windows, done, reference, header) -> None:

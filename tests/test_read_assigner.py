@@ -74,3 +74,48 @@ def test_realign_through_insertion():
     nb, cig = realign_read_to_haplotype(batch, 0, h)
     assert nb == 130
     assert cigar_to_string(cig) == "20M3I27M"
+
+
+def test_grouped_assignment_matches_per_block():
+    """assign_reads_grouped must reproduce per-block assign_reads exactly
+    (hap choice, ambiguity, and best-hap log-likelihoods) across blocks
+    with mixed haplotype structures (SNV-only and indel-carrying)."""
+    from octopus_tpu.core.tools.read_assigner import assign_reads_grouped
+
+    rng = np.random.default_rng(11)
+    jobs = []
+    for blk in range(12):
+        n = 240 + 40 * blk
+        ref = rng.integers(0, 4, n).astype(np.uint8)
+        fetch = lambda b, e, ref=ref: ref[b:e]
+        mid = n // 2
+        if blk % 3 == 0:       # het SNV
+            alt = encode_sequence("ACGT"[(int(ref[mid]) + 1) % 4])
+            v = Variant.make(mid, ref[mid:mid + 1], alt)
+        elif blk % 3 == 1:     # 2bp deletion
+            v = Variant.make(mid, ref[mid:mid + 3], ref[mid:mid + 1])
+        else:                  # insertion
+            v = Variant.make(mid, ref[mid:mid + 1],
+                             np.concatenate([ref[mid:mid + 1],
+                                             encode_sequence("GT")]))
+        h_ref = Haplotype.build(0, n, [], fetch)
+        h_alt = Haplotype.build(0, n, [v], fetch)
+        reads = []
+        for k in range(30):
+            src = h_alt if k % 2 else h_ref
+            start = int(rng.integers(0, len(src.sequence) - 80))
+            seq = list(decode_sequence(src.sequence[start:start + 80]))
+            if rng.random() < 0.5:   # sprinkle errors
+                p = int(rng.integers(0, 80))
+                seq[p] = "ACGT"[(("ACGT".index(seq[p])) + 1) % 4]
+            reads.append((start, "80M", "".join(seq), [35] * 80, 60,
+                          16 if k % 4 == 0 else 0))
+        batch = make_read_batch("chr1", reads)
+        jobs.append((batch, [h_ref, h_alt], 0))
+
+    grouped = assign_reads_grouped(jobs)
+    for (batch, haps, lo), g in zip(jobs, grouped):
+        lazy = assign_reads(batch, haps, list(range(len(haps))), lo)
+        assert np.array_equal(g.hap_of_read, lazy.hap_of_read)
+        assert np.allclose(g.log_likelihoods, lazy.log_likelihoods,
+                           rtol=0, atol=1e-12)
