@@ -333,8 +333,29 @@ def _maybe_init_jax_distributed() -> None:
           file=sys.stderr)
 
 
+def _enable_cpu_compile_cache() -> None:
+    """Persistent XLA compilation cache: fresh worker processes (and
+    repeat runs) load the pair-HMM/VB executables from disk instead of
+    recompiling (~3s per shape on a small host).  The tunneled TPU
+    compiler bypasses this cache (BASELINE.md) — there the warm-up thread
+    remains the mechanism — but enabling it is lossless everywhere and
+    CPU workers benefit directly."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "OCTOPUS_TPU_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "octopus_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:          # cache is an optimisation, never fatal
+        pass
+
+
 def run_calling(args) -> int:
     _maybe_init_jax_distributed()
+    _enable_cpu_compile_cache()
     if getattr(args, "profile", None):
         # JAX profiler trace of the whole run (device + host annotations);
         # the reference's analog is its BENCHMARK phase-timer build
