@@ -183,7 +183,10 @@ def parse_region(text: str, reference: ReferenceGenome,
                 text, reason=f"contig {contig!r} is not in the reference",
                 known_contigs=reference.contig_names()) from None
 
-    if ":" not in text:
+    # a full contig name wins before any colon-splitting — GRCh38 ALT/HLA
+    # contigs legitimately contain colons ("HLA-A*01:01:01:01"); the
+    # reference checks has_contig(region) first (region_parser.cpp:94-97)
+    if ":" not in text or text in reference.contig_names():
         return text, 0, contig_size(text)
     contig, _, rng = text.rpartition(":")
     rng = rng.replace(",", "")

@@ -92,6 +92,25 @@ def test_parse_region(small_genome):
     assert parse_region("chr1:101", ref, one_based=True) == ("chr1", 100, 101)
 
 
+def test_parse_region_colon_contig(tmp_path):
+    """GRCh38 ALT/HLA contig names contain colons; a full contig-name match
+    wins before colon splitting (region_parser.cpp:94-97)."""
+    fa = tmp_path / "hla.fa"
+    with open(fa, "w") as fh:
+        fh.write(">HLA-A*01:01:01:01\n" + "ACGT" * 25 + "\n")
+        fh.write(">chr1\n" + "ACGT" * 25 + "\n")
+    ref = ReferenceGenome(IndexedFasta(str(fa)))
+    assert parse_region("HLA-A*01:01:01:01", ref) == ("HLA-A*01:01:01:01", 0, 100)
+    # range suffix on a colon-bearing contig still parses
+    assert parse_region("HLA-A*01:01:01:01:10-20", ref) == \
+        ("HLA-A*01:01:01:01", 10, 20)
+    # unknown contigs still raise the structured error
+    import pytest
+    from octopus_tpu.errors import BadRegionError
+    with pytest.raises(BadRegionError):
+        parse_region("HLA-B*99:99", ref)
+
+
 def test_checkpoint_resume(tmp_path, small_genome):
     """Completed window shards are reused on rerun."""
     import json, os

@@ -1,0 +1,93 @@
+"""Adversarial input probes (round-4 continuation): degenerate reads,
+symbolic source candidates, haploid contig ploidy.  Each case pins
+no-crash behaviour plus the semantically expected output."""
+
+import os
+
+import numpy as np
+import pytest
+
+from octopus_tpu.basics.reads import make_read_batch
+from octopus_tpu.cli import build_parser
+from octopus_tpu.io.bam_writer import BamWriter, build_bai
+from octopus_tpu.io.vcf import VcfReader
+from octopus_tpu.run import run_calling
+from octopus_tpu.utils.synthetic import simulate_diploid
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("degen"))
+    fa, bam, truth, n = simulate_diploid(tmp, kb=30, depth=25, seed=9)
+    seq = open(fa).read().split("\n", 1)[1].replace("\n", "")
+    return tmp, fa, bam, truth, n, seq
+
+
+def test_degenerate_reads_do_not_crash(sim):
+    """BQ0-everywhere reads, all-soft-clip reads, and a 2 kb deletion
+    spanning read set must neither crash nor produce confident junk."""
+    tmp, fa, _, _, n, seq = sim
+    reads = []
+    for start in range(1000, 1600, 37):       # BQ 0 everywhere
+        reads.append((start, "100M", seq[start:start + 100], [0] * 100, 60, 0))
+    for start in range(2000, 2300, 51):       # all soft-clip
+        reads.append((start, "100S", seq[start:start + 100], [30] * 100, 60, 0))
+    for start in range(3000, 3300, 53):       # deletion longer than the read
+        s = seq[start:start + 50] + seq[start + 2050:start + 2100]
+        reads.append((start, "50M2000D50M", s, [30] * 100, 60, 0))
+    batch = make_read_batch("chr1", reads)
+    bam2 = os.path.join(tmp, "degen.bam")
+    with BamWriter(bam2, ["chr1"], [n], samples=["S1"]) as w:
+        w.write_batch(batch, sample="S1")
+    build_bai(bam2)
+    out = os.path.join(tmp, "degen.vcf")
+    args = build_parser().parse_args(
+        ["-R", fa, "-I", bam2, "-o", out, "-T", "chr1"])
+    assert run_calling(args) == 0
+    recs = [r for r in VcfReader(out).records() if r.alts]
+    # the unanimous 2 kb deletion may be called, but only at low quality
+    # (BQ0 and clipped reads contribute no confident support)
+    for r in recs:
+        assert r.qual < 10 or r.filters != ["PASS"]
+
+
+def test_symbolic_source_candidates_skipped(sim):
+    """--source-candidates with <DEL>/<NON_REF>/breakend ALTs: symbolic
+    records are skipped (the reference's VcfExtractor only takes sequence
+    alleles); plain records still feed candidates."""
+    tmp, fa, bam, _, n, seq = sim
+    src = os.path.join(tmp, "cands.vcf")
+    alt = "ACGT"[("ACGT".index(seq[799]) + 1) % 4]
+    with open(src, "w") as fh:
+        fh.write("##fileformat=VCFv4.3\n")
+        fh.write("##contig=<ID=chr1,length=%d>\n" % n)
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write("chr1\t500\t.\t%s\t<DEL>\t.\t.\t.\n" % seq[499])
+        fh.write("chr1\t600\t.\t%s\t<NON_REF>\t.\t.\t.\n" % seq[599])
+        fh.write("chr1\t700\t.\t%s\t%s]chr1:800]\t.\t.\t.\n"
+                 % (seq[699], seq[699]))
+        fh.write("chr1\t800\t.\t%s\t%s\t.\t.\t.\n" % (seq[799], alt))
+    out = os.path.join(tmp, "srccand.vcf")
+    args = build_parser().parse_args(
+        ["-R", fa, "-I", bam, "-o", out, "-T", "chr1:1-5000",
+         "--source-candidates", src])
+    assert run_calling(args) == 0
+    recs = [r for r in VcfReader(out).records() if r.alts]
+    # no symbolic ALT can leak into the output
+    assert all("<" not in a and "]" not in a and "[" not in a
+               for r in recs for a in r.alts)
+
+
+def test_haploid_contig_ploidy(sim):
+    """--contig-ploidies chr1=1 calls haploid GTs on that contig."""
+    tmp, fa, bam, _, n, _ = sim
+    out = os.path.join(tmp, "haploid.vcf")
+    args = build_parser().parse_args(
+        ["-R", fa, "-I", bam, "-o", out, "-T", "chr1",
+         "--contig-ploidies", "chr1=1"])
+    assert run_calling(args) == 0
+    recs = [r for r in VcfReader(out).records() if r.alts]
+    assert recs
+    for r in recs:
+        gt = r.sample_values[0]["GT"].replace("|", "/")
+        assert len(gt.split("/")) == 1
