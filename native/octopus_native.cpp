@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <limits>
 #include <cstring>
+#include <map>
 #include <queue>
 #include <set>
 #include <string>
@@ -1638,6 +1639,124 @@ static inline int32_t match_cost(int32_t t, int32_t w, int32_t q,
     return pen;
 }
 
+// ---------------------------------------------------------------------------
+// Lane-batched score-only banded DP: G independent (read, window) pairs of
+// identical length advance in lockstep, lane-minor, so every recurrence is
+// a straight vertical vector op (the serial in-band deletion scan is
+// unaffected — lanes are independent pairs).  Bit-identical min-plus math
+// to the scalar traceback path above; used for rows that need no flank
+// discount.  target_clones lets gcc emit AVX2/AVX-512 versions and pick at
+// runtime without changing the baseline build flags.
+// ---------------------------------------------------------------------------
+
+static const int kLanes = 16;
+
+#if defined(__x86_64__) && defined(__gnu_linux__)
+__attribute__((target_clones("default", "avx2", "arch=x86-64-v4")))
+#endif
+static void banded_scores_group(
+    int G, int R, int Dn, int nuc_prior,
+    const int32_t* tgtT, const int32_t* qualT,   // (L, G) lane-minor
+    const int32_t* winT, const int32_t* opnT, const int32_t* extT,
+    const int32_t* mskT, const int32_t* priT,    // (W, G) lane-minor
+    int32_t* M_prev, int32_t* I_prev, int32_t* D_prev,   // (Dn, G) scratch
+    int32_t* M_cur, int32_t* I_cur, int32_t* D_cur,
+    int32_t* out_scores) {
+    const int GD = G;
+    // row 0: M = 0 everywhere; I = inf; D via the odd-diagonal gap chain
+    for (int d = 0; d < Dn; ++d)
+        for (int g = 0; g < GD; ++g) {
+            M_prev[d * GD + g] = 0;
+            I_prev[d * GD + g] = kInf;
+            D_prev[d * GD + g] = kInf;
+        }
+    for (int d = 1; d < Dn; ++d) {
+        const int32_t m0 = ((d - 1) % 2 == 1) ? 0 : kInf;
+        const int32_t* opn_x = opnT + (size_t)(d - 1) * GD;
+        const int32_t* ext_x = extT + (size_t)(d - 1) * GD;
+        for (int g = 0; g < GD; ++g) {
+            const int32_t vo = m0 + opn_x[g];
+            const int32_t ve = D_prev[(d - 1) * GD + g] + ext_x[g];
+            D_prev[d * GD + g] = vo <= ve ? vo : ve;
+        }
+    }
+    for (int y = 1; y <= R; ++y) {
+        const int32_t* tgt_y = tgtT + (size_t)(y - 1) * GD;
+        const int32_t* qual_y = qualT + (size_t)(y - 1) * GD;
+        for (int d = 0; d < Dn; ++d) {
+            const size_t x = (size_t)(y - 1 + d) * GD;
+            const int32_t* win_x = winT + x;
+            const int32_t* msk_x = mskT + x;
+            const int32_t* pri_x = priT + x;
+            const int32_t* opn_x = opnT + x;
+            const int32_t* ext_x = extT + x;
+            int32_t* Mc = M_cur + (size_t)d * GD;
+            const int32_t* Mp = M_prev + (size_t)d * GD;
+            const int32_t* Ip = I_prev + (size_t)d * GD;
+            const int32_t* Dp = D_prev + (size_t)d * GD;
+            for (int g = 0; g < GD; ++g) {
+                const int32_t t = tgt_y[g], w = win_x[g], q = qual_y[g];
+                int32_t pen = (t == w) ? 0
+                              : ((msk_x[g] == t) ? (q < pri_x[g] ? q : pri_x[g])
+                                                 : q);
+                pen = (w == kNCode && pen > kNScore) ? kNScore : pen;
+                int32_t best = Mp[g];
+                if (Ip[g] < best) best = Ip[g];
+                if (Dp[g] < best) best = Dp[g];
+                Mc[g] = pen + best;
+            }
+            int32_t* Ic = I_cur + (size_t)d * GD;
+            if (d + 1 < Dn) {
+                const int32_t* Mp1 = M_prev + (size_t)(d + 1) * GD;
+                const int32_t* Ip1 = I_prev + (size_t)(d + 1) * GD;
+                const int32_t m0 = ((d + 1) % 2 == 1) ? 0 : kInf;
+                for (int g = 0; g < GD; ++g) {
+                    const int32_t mp = (y == 1) ? m0 : Mp1[g];
+                    const int32_t vo = mp + opn_x[g];
+                    const int32_t ve = Ip1[g] + ext_x[g];
+                    Ic[g] = nuc_prior + (vo <= ve ? vo : ve);
+                }
+            } else {
+                for (int g = 0; g < GD; ++g) Ic[g] = kInf;
+            }
+            int32_t* Dc = D_cur + (size_t)d * GD;
+            if (d > 0) {
+                const size_t xd = (size_t)(y + d - 1) * GD;
+                const int32_t* opn_d = opnT + xd;
+                const int32_t* ext_d = extT + xd;
+                const int32_t* Mdm1 = M_cur + (size_t)(d - 1) * GD;
+                const int32_t* Idm1 = I_cur + (size_t)(d - 1) * GD;
+                const int32_t* Ddm1 = D_cur + (size_t)(d - 1) * GD;
+                for (int g = 0; g < GD; ++g) {
+                    int32_t bd = Mdm1[g] + opn_d[g];
+                    const int32_t c1 = Idm1[g] + opn_d[g];
+                    const int32_t c2 = Ddm1[g] + ext_d[g];
+                    if (c1 < bd) bd = c1;
+                    if (c2 < bd) bd = c2;
+                    Dc[g] = bd;
+                }
+            } else {
+                for (int g = 0; g < GD; ++g) Dc[g] = kInf;
+            }
+        }
+        std::swap(M_prev, M_cur);
+        std::swap(I_prev, I_cur);
+        std::swap(D_prev, D_cur);
+    }
+    for (int g = 0; g < GD; ++g) out_scores[g] = kInf;
+    for (int d = 0; d < Dn; ++d) {
+        for (int g = 0; g < GD; ++g) {
+            const int32_t m = M_prev[d * GD + g];
+            const int32_t i = I_prev[d * GD + g];
+            const int32_t dd = D_prev[d * GD + g];
+            int32_t s = m;
+            if (i < s) s = i;
+            if (dd < s) s = dd;
+            if (s < out_scores[g]) out_scores[g] = s;
+        }
+    }
+}
+
 // flank_banded_scores(n, L, W, pad, nuc_prior,
 //                     tgt, quals,            # (n, L) int32
 //                     win, opn, ext, mask, prior,   # (n, W) int32
@@ -1668,9 +1787,66 @@ static PyObject* flank_banded_scores(PyObject*, PyObject* args) {
     const int Dn = 2 * pad;
 
     Py_BEGIN_ALLOW_THREADS
+    // rows needing no flank discount take the lane-batched score-only DP,
+    // grouped by read length; flank rows keep the scalar traceback path
+    std::vector<uint8_t> done((size_t)n, 0);
+    {
+        std::map<int, std::vector<int>> by_len;
+        for (int i = 0; i < n; ++i)
+            if (lhs_a[i] == 0 && rhs_a[i] == 0) by_len[lens[i]].push_back(i);
+        const int G = kLanes;
+        std::vector<int32_t> tgtT((size_t)L * G), qualT((size_t)L * G),
+            winT((size_t)W * G), opnT((size_t)W * G), extT((size_t)W * G),
+            mskT((size_t)W * G), priT((size_t)W * G);
+        std::vector<int32_t> Mp((size_t)Dn * G), Ip((size_t)Dn * G),
+            Dp((size_t)Dn * G), Mc((size_t)Dn * G), Ic((size_t)Dn * G),
+            Dc((size_t)Dn * G), scores(G);
+        for (auto& kv : by_len) {
+            const int R = kv.first;
+            if (R <= 0) continue;
+            const int Wr = R + 2 * pad - 1;
+            const std::vector<int>& rows = kv.second;
+            for (size_t lo = 0; lo < rows.size(); lo += G) {
+                const int valid = (int)std::min((size_t)G, rows.size() - lo);
+                int lane_row[kLanes];
+                for (int g = 0; g < G; ++g)
+                    lane_row[g] = rows[lo + (g < valid ? g : 0)];
+                for (int x = 0; x < Wr; ++x) {
+                    for (int g = 0; g < G; ++g) {
+                        const size_t src = (size_t)lane_row[g] * W + x;
+                        const size_t dst = (size_t)x * G + g;
+                        winT[dst] = win_a[src];
+                        opnT[dst] = opn_a[src];
+                        extT[dst] = ext_a[src];
+                        mskT[dst] = mask_a[src];
+                        priT[dst] = prior_a[src];
+                    }
+                }
+                for (int y = 0; y < R; ++y) {
+                    for (int g = 0; g < G; ++g) {
+                        const size_t src = (size_t)lane_row[g] * L + y;
+                        const size_t dst = (size_t)y * G + g;
+                        tgtT[dst] = tgt_a[src];
+                        qualT[dst] = qual_a[src];
+                    }
+                }
+                banded_scores_group(G, R, Dn, nuc_prior,
+                                    tgtT.data(), qualT.data(), winT.data(),
+                                    opnT.data(), extT.data(), mskT.data(),
+                                    priT.data(), Mp.data(), Ip.data(),
+                                    Dp.data(), Mc.data(), Ic.data(),
+                                    Dc.data(), scores.data());
+                for (int g = 0; g < valid; ++g) {
+                    out[rows[lo + g]] = scores[g];
+                    done[rows[lo + g]] = 1;
+                }
+            }
+        }
+    }
     FlankDP dp;
     dp.ops.reserve((size_t)L + Dn);
     for (int i = 0; i < n; ++i) {
+        if (done[i]) continue;
         const int R = lens[i];
         const int Wr = R + 2 * pad - 1;   // this row's real window width
         const int32_t* tgt = tgt_a + (size_t)i * L;

@@ -309,8 +309,6 @@ class HaplotypeLikelihoodArray:
         all_reads = np.arange(n_reads)
         for h in range(H):
             hap_len = len(haplotypes[h])
-            read_of, begin = indices[h].map_reads_flat(hashes_flat,
-                                                       hash_offsets)
             # need[r] = read r still needs scoring against h (no cache hit)
             need = np.ones(n_reads, bool)
             if cache is not None:
@@ -321,6 +319,14 @@ class HaplotypeLikelihoodArray:
                         out[h, r] = hit
                         cached_pairs.add((h, r))
                         need[r] = False
+                if not need.any():
+                    # fully cached haplotype (beam prune rounds re-score
+                    # survivors every round): skip anchor mapping and job
+                    # assembly outright — the dominant host cost on deep
+                    # dense windows
+                    continue
+            read_of, begin = indices[h].map_reads_flat(hashes_flat,
+                                                       hash_offsets)
             # ensure each read's original mapped position is a candidate
             M = max(hap_len, int(original.max()) + 1 if n_reads else 1) + 2
             have_orig = np.isin(all_reads * M + original,

@@ -29,18 +29,26 @@ import numpy as np
 from ..types.genotypes import genotype_counts_matrix
 
 
-def genotype_log_likelihoods_np(lnL: np.ndarray, genotypes: np.ndarray) -> np.ndarray:
-    """Exact float64 host computation. lnL (H, R); genotypes (G, P)."""
+def genotype_log_likelihoods_np(lnL: np.ndarray, genotypes: np.ndarray,
+                                chunk: int = 2048) -> np.ndarray:
+    """Exact float64 host computation. lnL (H, R); genotypes (G, P).
+
+    Chunked over genotypes: the (G, P, R) intermediate on a dense deep
+    window (G ~ 20k, R ~ 20k) would otherwise be gigabytes."""
     G, P = genotypes.shape
     if P == 0:
         return np.zeros(G)
-    sub = lnL[genotypes]                  # (G, P, R)
-    m = sub.max(axis=1)                   # (G, R)
-    m_safe = np.where(np.isfinite(m), m, 0.0)
-    s = np.exp(sub - m_safe[:, None, :]).sum(axis=1)
-    per_read = m_safe + np.log(s) - np.log(P)
-    per_read = np.where(np.isfinite(m), per_read, -np.inf)
-    return per_read.sum(axis=1)
+    out = np.empty(G)
+    for lo in range(0, G, chunk):
+        g = genotypes[lo:lo + chunk]
+        sub = lnL[g]                          # (g, P, R)
+        m = sub.max(axis=1)                   # (g, R)
+        m_safe = np.where(np.isfinite(m), m, 0.0)
+        s = np.exp(sub - m_safe[:, None, :]).sum(axis=1)
+        per_read = m_safe + np.log(s) - np.log(P)
+        per_read = np.where(np.isfinite(m), per_read, -np.inf)
+        out[lo:lo + chunk] = per_read.sum(axis=1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("ploidy",))
@@ -102,6 +110,11 @@ def genotype_log_likelihoods(lnL: np.ndarray, genotypes: np.ndarray,
     # tiny reductions are host work: a (G,H)x(H,R) matmul under ~1 MFLOP
     # costs microseconds in numpy but a full dispatch round trip on device
     if genotypes.shape[0] * genotypes.shape[1] * lnL.shape[1] < 1_000_000:
+        device = False
+    # small runs skip the warm-up thread (run.py), so an unusual padded
+    # shape (one dense deep window) must not stall minutes in a cold
+    # remote compile; the run loop sets this for sub-warm-gate runs
+    if os.environ.get("OCTOPUS_TPU_HOST_LATENTS") == "1":
         device = False
     if not device:
         return genotype_log_likelihoods_np(lnL, genotypes)

@@ -665,6 +665,11 @@ def _load_journal(path: str) -> dict:
     return done
 
 
+# env keys the small-run policy set itself (cleared again by warmed runs
+# in the same process; user-provided values are never touched)
+_SMALL_RUN_ENV: set = set()
+
+
 def _start_warmup(caller_kind: str):
     """Pre-compile the bounded executable ladders on a daemon thread so
     one-time compiles overlap the first windows' host work instead of
@@ -727,6 +732,25 @@ def _run_calling_main(args, components, reference, bams, samples,
     # (pthread 'FATAL: exception not rethrown' noise on exit)
     if sum(w.end - w.begin for w in windows) >= 1_000_000:
         _start_warmup(caller_kind)
+        # a previous small run in this process may have pinned the host
+        # paths; a warmed run wants the device paths back
+        for k in ("OCTOPUS_TPU_HOST_HMM_MAX", "OCTOPUS_TPU_HOST_LATENTS"):
+            if os.environ.get(k) is not None and k in _SMALL_RUN_ENV:
+                os.environ.pop(k, None)
+                _SMALL_RUN_ENV.discard(k)
+    else:
+        # a run too small to warm up must never pay a cold device compile
+        # mid-window either: a single deep window (high depth x small span)
+        # can push >384 HMM jobs onto the device path — or a rare padded
+        # genotype-reduction shape — and stall minutes in the remote
+        # compiler (round-4 probe: 10 kb @ 1000x = 255s).  The native
+        # SIMD host DP and the chunked host reduction handle small runs
+        # comfortably, so prefer them outright.
+        for k, v in (("OCTOPUS_TPU_HOST_HMM_MAX", "1000000"),
+                     ("OCTOPUS_TPU_HOST_LATENTS", "1")):
+            if k not in os.environ:
+                os.environ[k] = v
+                _SMALL_RUN_ENV.add(k)
     caller_config = components.caller if components else None
     n_records = 0
     n_threads = max(int(getattr(args, "threads", 0) or 0), 1)
