@@ -302,6 +302,194 @@ def bench_population(kb=100, depth=30, seed=9, n_samples=3):
     }
 
 
+def bench_polyclone(kb=50, depth=120, seed=13, fractions=(0.5, 0.3, 0.2)):
+    """Polyclonal haploid mixture (mixed infection): clones at uneven
+    fractions with shared (trunk) and private variants.  Mirrors the
+    reference's polyclone use-case (polyclone_caller.cpp:92-110 clonality
+    k-sweep); accuracy = trunk + private recall, recovered clone count."""
+    from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+    from bench_e2e import read_from_flat
+
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = _make_seq(rng, n)
+    tmp = tempfile.mkdtemp()
+    fa = write_reference(tmp, seq)
+    n_clones = len(fractions)
+    clones = [[list(seq)] for _ in range(n_clones)]     # haploid: 1 hap each
+    trunk, private = set(), {}                          # pos -> clone idx
+    pos = 1500
+    while pos < n - 1500:
+        pos += int(rng.integers(800, 2000))
+        if pos >= n - 1500:
+            break
+        kind = _random_variant(rng, seq, pos)
+        if rng.random() < 0.4:                          # trunk: all clones
+            for c in clones:
+                _mutate(c, pos, kind, (0,), seq)
+            trunk.add(pos)
+        else:                                           # private to one clone
+            ci = int(rng.integers(0, n_clones))
+            _mutate(clones[ci], pos, kind, (0,), seq)
+            private[pos] = ci
+    flats = [flatten_haplotype(c[0]) for c in clones]
+    n_reads = int(n * depth / 150)
+    cum = np.cumsum(fractions)
+    reads = []
+    for _ in range(n_reads):
+        ci = int(np.searchsorted(cum, rng.random()))
+        hap, refc = flats[min(ci, n_clones - 1)]
+        begin = int(rng.integers(0, len(hap) - 150))
+        r = read_from_flat(hap, refc, begin, 150, rng)
+        if r is None:
+            continue
+        p, cig, s = r
+        reads.append((p, cig, s, [37] * 150, 60,
+                      FLAG_REVERSE if rng.random() < 0.5 else 0))
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    bam = os.path.join(tmp, "POOL.bam")
+    with BamWriter(bam, ["chr1"], [n], samples=["POOL"]) as w:
+        w.write_batch(batch, sample="POOL")
+    build_bai(bam)
+    out = os.path.join(tmp, "poly.vcf")
+    t0 = time.time()
+    _run_cli(fa, [bam], out, ["--caller", "polyclone", "--max-clones", "4",
+                              "--organism-ploidy", "1"])
+    wall = time.time() - t0
+    recs = _all_records(out)
+    called = {r.pos - 1 for r in recs} | {r.pos for r in recs}
+    trunk_tp = sum(1 for p in trunk if _near(called, p))
+    priv_tp = sum(1 for p in private if _near(called, p))
+    # recall of the minor clone's private variants (hardest: VAF = min frac)
+    minor = [p for p, ci in private.items() if ci == n_clones - 1]
+    minor_tp = sum(1 for p in minor if _near(called, p))
+    truth_all = trunk | set(private)
+    fp = sum(1 for r in recs
+             if not _near(truth_all, r.pos - 1) and not _near(truth_all, r.pos))
+    clones_info = [r.info.get("CLONES") for r in recs if r.info.get("CLONES")]
+    from collections import Counter
+    k_mode = Counter(clones_info).most_common(1)[0][0] if clones_info else 0
+    return {
+        "metric": "e2e_polyclone", "kb": kb, "depth": depth,
+        "fractions": list(fractions), "wall_s": round(wall, 1),
+        "n_trunk": len(trunk), "n_private": len(private),
+        "trunk_recall": round(trunk_tp / max(len(trunk), 1), 4),
+        "private_recall": round(priv_tp / max(len(private), 1), 4),
+        "minor_clone_recall": round(minor_tp / max(len(minor), 1), 4),
+        "fp": fp, "clones_mode": int(k_mode),
+    }
+
+
+def bench_cell(kb=30, n_cells=8, depth=12, seed=17):
+    """Single cells from a known clone phylogeny with allelic dropout.
+    Phylogeny: founder (germline hets) -> clone A (+somatics) -> clone B
+    (+more somatics); cells split across the three clones.  Mirrors the
+    reference's CellCaller (cell_caller.cpp:103-135, single_cell_model).
+    Accuracy = germline + somatic recall, somatic-cell-count sanity."""
+    from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+    from bench_e2e import read_from_flat
+
+    rng = np.random.default_rng(seed)
+    n = kb * 1000
+    seq = _make_seq(rng, n)
+    tmp = tempfile.mkdtemp()
+    fa = write_reference(tmp, seq)
+    founder = [list(seq), list(seq)]
+    germline = set()
+    pos = 1500
+    while pos < n - 1500:
+        pos += int(rng.integers(1000, 2500))
+        if pos >= n - 1500:
+            break
+        kind = _random_variant(rng, seq, pos)
+        _mutate(founder, pos, kind,
+                (0, 1) if rng.random() < 0.3 else (int(rng.random() < 0.5),),
+                seq)
+        germline.add(pos)
+    # clone A: founder + somatic SNVs on hap 0; clone B: A + more somatics
+    clone_a = [list(founder[0]), list(founder[1])]
+    clone_b = None
+    som_a, som_b = set(), set()
+    for _ in range(5):
+        pos = int(rng.integers(2000, n - 2000))
+        if _near(germline, pos, 50) or _near(som_a, pos, 50):
+            continue
+        clone_a[0][pos] = "ACGT"[("ACGT".index(seq[pos]) + 2) % 4]
+        som_a.add(pos)
+    clone_b = [list(clone_a[0]), list(clone_a[1])]
+    for _ in range(4):
+        pos = int(rng.integers(2000, n - 2000))
+        if _near(germline | som_a, pos, 50) or _near(som_b, pos, 50):
+            continue
+        clone_b[0][pos] = "ACGT"[("ACGT".index(seq[pos]) + 1) % 4]
+        som_b.add(pos)
+    clone_of_cell = ([0] * (n_cells - n_cells // 2 - n_cells // 4)
+                     + [1] * (n_cells // 2) + [2] * (n_cells // 4))
+    clone_haps = [founder, clone_a, clone_b]
+    bams = []
+    for ci in range(n_cells):
+        haps = clone_haps[clone_of_cell[ci]]
+        flats = [flatten_haplotype(h) for h in haps]
+        # allelic dropout: per-cell haplotype sampling weights from a
+        # Dirichlet (WGA amplification bias) — some cells are mostly one hap
+        w0 = float(rng.beta(2.0, 2.0))
+        n_reads = int(n * depth / 150)
+        reads = []
+        for _ in range(n_reads):
+            hap, refc = flats[0] if rng.random() < w0 else flats[1]
+            begin = int(rng.integers(0, len(hap) - 150))
+            r = read_from_flat(hap, refc, begin, 150, rng)
+            if r is None:
+                continue
+            p, cig, s = r
+            reads.append((p, cig, s, [37] * 150, 60,
+                          FLAG_REVERSE if rng.random() < 0.5 else 0))
+        batch = make_read_batch("chr1", reads).sorted_by_begin()
+        name = f"CELL{ci}"
+        bam = os.path.join(tmp, f"{name}.bam")
+        with BamWriter(bam, ["chr1"], [n], samples=[name]) as w:
+            w.write_batch(batch, sample=name)
+        build_bai(bam)
+        bams.append(bam)
+    out = os.path.join(tmp, "cell.vcf")
+    t0 = time.time()
+    _run_cli(fa, bams, out, ["--caller", "cell", "--max-phylogeny-size", "3"])
+    wall = time.time() - t0
+    recs = _all_records(out)
+    som_truth = som_a | som_b
+    som_called = {r.pos - 1 for r in recs if r.info.get("SOMATIC")}
+    called_all = {r.pos - 1 for r in recs} | {r.pos for r in recs}
+    germ_tp = sum(1 for p in germline if _near(called_all, p))
+    som_tp = sum(1 for p in som_truth if _near(som_called, p))
+    som_tp_any = sum(1 for p in som_truth if _near(called_all, p))
+    truth_all = germline | som_truth
+    fp = sum(1 for r in recs
+             if not _near(truth_all, r.pos - 1) and not _near(truth_all, r.pos))
+    # somatic cell-count sanity: CELLS should approximate the number of
+    # cells carrying the somatic clone (A+B for som_a, B only for som_b)
+    n_a = sum(1 for c in clone_of_cell if c >= 1)
+    n_b = sum(1 for c in clone_of_cell if c == 2)
+    cells_err = []
+    for r in recs:
+        if r.info.get("SOMATIC") and r.info.get("CELLS") is not None:
+            p = r.pos - 1
+            want = n_a if _near(som_a, p) else (n_b if _near(som_b, p) else None)
+            if want:
+                cells_err.append(abs(int(r.info["CELLS"]) - want))
+    return {
+        "metric": "e2e_cell_phylogeny", "kb": kb, "n_cells": n_cells,
+        "depth": depth, "wall_s": round(wall, 1),
+        "n_germline": len(germline), "n_somatic": len(som_truth),
+        "germline_recall": round(germ_tp / max(len(germline), 1), 4),
+        "somatic_recall": round(som_tp / max(len(som_truth), 1), 4),
+        "somatic_called_any": round(som_tp_any / max(len(som_truth), 1), 4),
+        "fp": fp,
+        "mean_cells_err": round(float(np.mean(cells_err)), 2) if cells_err else None,
+    }
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     kb = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -310,7 +498,7 @@ def main():
     _install_compile_counter()
     from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
     warm_kernels((150,), pads=(8, 16))
-    if mode in ("all", "cancer"):
+    if mode in ("all", "cancer", "polyclone", "cell"):
         # the VB executable ladder (the run-level warm-up thread only
         # engages on >= 1 Mb runs; these benches are 100 kb)
         from octopus_tpu.core.models.subclone_vb import warm_vb
@@ -320,6 +508,8 @@ def main():
         "trio": lambda: bench_trio(kb, depth),
         "cancer": lambda: bench_cancer(kb, max(depth, 60)),
         "population": lambda: bench_population(kb, depth),
+        "polyclone": lambda: bench_polyclone(),
+        "cell": lambda: bench_cell(),
     }
     for name, fn in runs.items():
         if mode not in ("all", name):
