@@ -30,7 +30,10 @@ def write_reference(tmp, seq):
     return _write_reference(tmp, seq)
 
 
-def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
+def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
+             read_len_range=None, base_qual=37):
+    """read_len_range=(lo, hi) simulates variable-length long reads (CCS
+    style) with `err` random substitutions; default is 150 bp Illumina."""
     from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
     from octopus_tpu.io.bam_writer import BamWriter, build_bai
 
@@ -63,7 +66,7 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
             base = seq[pos]
             alt = "ACGT"[("ACGT".index(base) + int(rng.integers(1, 4))) % 4]
             kind = ("snv", alt)
-        truth[pos] = (kind, "hom" if hom else "het")
+        truth[pos] = (kind, "hom" if hom else "het", members)
         for m in members:
             if kind[0] == "snv":
                 haps[m][pos] = kind[1]
@@ -83,18 +86,23 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
                 refc.append(ref_i if k == 0 else -1)
         hap_seqs.append("".join(chars))
         hap_ref.append(np.asarray(refc))
-    n_reads = int(n * depth / read_len)
+    mean_len = (read_len if read_len_range is None
+                else (read_len_range[0] + read_len_range[1]) // 2)
+    n_reads = int(n * depth / mean_len)
     reads = []
     for i in range(n_reads):
         hap = hap_seqs[i % 2]
         refc = hap_ref[i % 2]
-        begin = int(rng.integers(0, len(hap) - read_len))
-        s = list(hap[begin:begin + read_len])
-        # 0.1% sequencing error (vectorised: the per-base python loop was
+        rl = (read_len if read_len_range is None
+              else int(rng.integers(read_len_range[0], read_len_range[1])))
+        rl = min(rl, len(hap) - 1)
+        begin = int(rng.integers(0, len(hap) - rl))
+        s = list(hap[begin:begin + rl])
+        # sequencing error (vectorised: the per-base python loop was
         # the simulator's bottleneck at >= 10 Mb scales)
-        for j in np.flatnonzero(rng.random(read_len) < 0.001):
+        for j in np.flatnonzero(rng.random(rl) < err):
             s[j] = "ACGT"[rng.integers(0, 4)]
-        rc = refc[begin:begin + read_len]
+        rc = refc[begin:begin + rl]
         aligned = np.flatnonzero(rc >= 0)
         if not len(aligned):
             continue
@@ -122,7 +130,7 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
         if cig and cig[-1].endswith("I"):              # trailing ins → softclip
             cig[-1] = cig[-1][:-1] + "S"
         reads.append((int(rc[aligned[0]]), "".join(cig), "".join(s),
-                      [37] * read_len, 60, FLAG_REVERSE if i % 3 == 0 else 0))
+                      [base_qual] * rl, 60, FLAG_REVERSE if i % 3 == 0 else 0))
     batch = make_read_batch("chr1", reads).sorted_by_begin()
     bam = os.path.join(tmp, "s.bam")
     with BamWriter(bam, ["chr1"], [n], samples=["SIM"]) as w:
@@ -131,12 +139,80 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11):
     return fa, bam, truth, n
 
 
+def phasing_stats(records, truth, tol=5):
+    """Phasing accuracy vs the simulator's known haplotypes: switch-error
+    rate over adjacent phased-het pairs within each phase set, plus
+    phase-set span N50 (the reference's PS semantics, phaser.cpp:54-175;
+    PQ/PS docs website/docs/guides/advanced/vcf.md).
+
+    truth: pos -> (kind, zygosity, members); members = carrier hap indices.
+    The GT column order within a phase set is arbitrary, so accuracy is
+    pairwise: a switch = adjacent het pair whose called relative
+    orientation (same side vs opposite side) disagrees with truth."""
+    truth_pos = sorted(truth)
+    by_ps: dict = {}
+    ps_span: dict = {}
+    for r in records:
+        sv = r.sample_values[0] if r.sample_values else {}
+        ps = sv.get("PS")
+        if ps in (None, "."):
+            continue
+        key = (r.chrom, ps)
+        lo, hi = ps_span.get(key, (r.pos, r.pos))
+        ps_span[key] = (min(lo, r.pos), max(hi, r.pos))
+        gt = sv.get("GT", "")
+        if "|" not in gt:
+            continue
+        halves = gt.split("|")[:2]
+        if len(halves) != 2 or halves[0] == halves[1]:
+            continue
+        p0 = r.pos - 1
+        match = [q for q in truth_pos if abs(q - p0) <= tol]
+        if not match:
+            continue
+        _, zyg, members = truth[match[0]]
+        if zyg != "het" or len(members) != 1:
+            continue
+        alt_side = 0 if halves[0] != "0" else 1
+        by_ps.setdefault(key, []).append((p0, alt_side, members[0]))
+    switches = pairs = 0
+    for sites in by_ps.values():
+        sites.sort()
+        for (_, s1, h1), (_, s2, h2) in zip(sites, sites[1:]):
+            pairs += 1
+            if (s1 == s2) != (h1 == h2):
+                switches += 1
+    spans = sorted(hi - lo + 1 for lo, hi in ps_span.values())
+    n50 = 0
+    if spans:
+        total, acc = sum(spans), 0
+        for s in reversed(spans):
+            acc += s
+            if acc * 2 >= total:
+                n50 = s
+                break
+    return {"phased_pairs": pairs, "switch_errors": switches,
+            "switch_rate": round(switches / pairs, 4) if pairs else None,
+            "ps_n50": n50, "n_phase_sets": len(ps_span)}
+
+
 def main():
     kb = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    long_reads = len(sys.argv) > 3 and sys.argv[3] == "long"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
     tmp = tempfile.mkdtemp()
-    fa, bam, truth, n = simulate(tmp, kb, depth)
+    if long_reads:
+        # PacBio-CCS-style: 5-15 kb reads, ~1% error, q23 bases
+        # (error_model_factory.cpp PacBioCCS preset; resources/configs/
+        # PacBioCCS.config)
+        fa, bam, truth, n = simulate(tmp, kb, depth,
+                                     read_len_range=(5000, 15000),
+                                     err=0.01, base_qual=23)
+        extra = ["--sequence-error-model", "PCR-FREE.PACBIO-CCS"]
+    else:
+        fa, bam, truth, n = simulate(tmp, kb, depth)
+        extra = []
     from octopus_tpu.cli import build_parser
     from octopus_tpu.run import run_calling
     from octopus_tpu.io.vcf import VcfReader
@@ -151,10 +227,10 @@ def main():
     warm_kernels(read_lengths=(150,))
     warm = build_parser().parse_args(["-R", fa, "-I", bam,
                                       "-o", os.path.join(tmp, "warm.vcf"),
-                                      "-T", "chr1:1-10000"])
+                                      "-T", "chr1:1-10000", *extra])
     run_calling(warm)
     args = build_parser().parse_args(["-R", fa, "-I", bam, "-o", out, "-T", "chr1",
-                                      "--threads", "8", "--benchmark"])
+                                      "--threads", "8", "--benchmark", *extra])
     from octopus_tpu.utils import timers
     timers.reset()
     import resource
@@ -188,6 +264,7 @@ def main():
             fp += 1
     recall = tp / max(len(truth), 1)
     precision = (len(records) - fp) / max(len(records), 1)
+    phasing = phasing_stats(records, truth)
     print(json.dumps({
         "metric": "e2e_synthetic_calling",
         "kb": kb, "depth": depth,
@@ -201,6 +278,7 @@ def main():
         "phases_s": phases,
         "peak_rss_mb": peak_rss_mb,
         "rss_after_sim_mb": rss_after_sim_mb,
+        **phasing,
     }))
 
 

@@ -181,8 +181,6 @@ class CallerBase:
             return []
         from ..tools.bad_region_detector import (BadRegionConfig, Severity,
                                                  assess_region, median_depth)
-        typical = max((median_depth(b) for b in reads_by_sample if len(b)),
-                      default=0.0)
         bad_region_config = BadRegionConfig.from_tolerance(cfg.bad_region_tolerance)
         calls: list[SiteCall] = []
         # raw (haplotype, read) scores shared between beam pruning rounds and
@@ -224,10 +222,18 @@ class CallerBase:
         if defer_at and any(len(vs) >= defer_at for _, _, vs in regions_list):
             raise HeavyWindowDeferred(region_begin, region_end)
         for begin, end, variants in regions_list:
-            merged = ReadBatch.concatenate([b for b in reads_by_sample if len(b)])
             if bad_region_config is not None:
-                severity = assess_region(merged, begin, end, len(variants),
-                                         typical, bad_region_config)
+                # per-sample depth profiles (the reference keeps a per-sample
+                # average_depths map, bad_region_detector.hpp:71): pooling
+                # multi-sample reads against one sample's typical depth would
+                # misread every N-sample region as an N-fold depth spike
+                severity = Severity.NONE
+                for b in reads_by_sample:
+                    if len(b):
+                        s = assess_region(b, begin, end, len(variants),
+                                          median_depth(b), bad_region_config)
+                        if s.value > severity.value:
+                            severity = s
             else:
                 severity = Severity.NONE
             if severity == Severity.HIGH:
