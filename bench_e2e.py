@@ -89,28 +89,51 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
     mean_len = (read_len if read_len_range is None
                 else (read_len_range[0] + read_len_range[1]) // 2)
     n_reads = int(n * depth / mean_len)
-    reads = []
-    for i in range(n_reads):
-        hap = hap_seqs[i % 2]
-        refc = hap_ref[i % 2]
-        rl = (read_len if read_len_range is None
-              else int(rng.integers(read_len_range[0], read_len_range[1])))
-        rl = min(rl, len(hap) - 1)
-        begin = int(rng.integers(0, len(hap) - rl))
+    # Streaming write: the simulator holds only O(slab) reads in memory
+    # (materialising everything hit 90 GB at 63 Mb / 30x, swamping engine-RSS
+    # accounting, BASELINE.md).  Draws per haplotype are pre-sorted by hap
+    # begin; ref position is monotone in hap position, so flushing slab by
+    # slab preserves global coordinate order for the BAI.
+    per_hap = [n_reads - n_reads // 2, n_reads // 2]
+    draws = []          # per hap: (hap begins, lengths, ref begins) by ref order
+    for h in (0, 1):
+        m = per_hap[h]
+        if read_len_range is None:
+            rls = np.full(m, min(read_len, len(hap_seqs[h]) - 1), np.int32)
+        else:
+            rls = rng.integers(read_len_range[0], read_len_range[1],
+                               size=m).astype(np.int32)
+            rls = np.minimum(rls, len(hap_seqs[h]) - 1)
+        begins = rng.integers(0, len(hap_seqs[h]) - rls.astype(np.int64))
+        # exact ref begin of each draw (ref coord of first aligned base at
+        # or after the hap begin) — slabs partition by REF coordinate, the
+        # BAM sort key; hap coords drift from ref coords inside indels
+        rc = hap_ref[h]
+        idx = np.where(rc >= 0, np.arange(len(rc)), len(rc))
+        next_aligned = np.minimum.accumulate(idx[::-1])[::-1]
+        na = next_aligned[begins]
+        ref_begins = np.where(na < len(rc), rc[np.minimum(na, len(rc) - 1)],
+                              np.int64(n))
+        order = np.argsort(ref_begins, kind="stable")
+        draws.append((begins[order].astype(np.int64), rls[order],
+                      ref_begins[order]))
+    bam = os.path.join(tmp, "s.bam")
+    slab = max(1_000_000, (read_len_range[1] * 4 if read_len_range else 0))
+    flag_state = [0]
+
+    def build_read(hap, refc, begin, rl, rev):
         s = list(hap[begin:begin + rl])
-        # sequencing error (vectorised: the per-base python loop was
-        # the simulator's bottleneck at >= 10 Mb scales)
         for j in np.flatnonzero(rng.random(rl) < err):
             s[j] = "ACGT"[rng.integers(0, 4)]
         rc = refc[begin:begin + rl]
         aligned = np.flatnonzero(rc >= 0)
         if not len(aligned):
-            continue
+            return None
         lead_ins = int(aligned[0])                    # leading inserted bases
         cig, last_ref, run_m = [], None, 0
         if lead_ins:
             cig.append(f"{lead_ins}S")
-        for j in range(lead_ins, read_len):
+        for j in range(lead_ins, rl):
             if rc[j] < 0:                             # inserted base
                 if run_m:
                     cig.append(f"{run_m}M"); run_m = 0
@@ -129,12 +152,28 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
             cig.append(f"{run_m}M")
         if cig and cig[-1].endswith("I"):              # trailing ins → softclip
             cig[-1] = cig[-1][:-1] + "S"
-        reads.append((int(rc[aligned[0]]), "".join(cig), "".join(s),
-                      [base_qual] * rl, 60, FLAG_REVERSE if i % 3 == 0 else 0))
-    batch = make_read_batch("chr1", reads).sorted_by_begin()
-    bam = os.path.join(tmp, "s.bam")
+        return (int(rc[aligned[0]]), "".join(cig), "".join(s),
+                [base_qual] * rl, 60, FLAG_REVERSE if rev else 0)
+
     with BamWriter(bam, ["chr1"], [n], samples=["SIM"]) as w:
-        w.write_batch(batch, sample="SIM")
+        cursors = [0, 0]
+        for s0 in range(0, n + slab, slab):
+            s1 = s0 + slab
+            reads = []
+            for h in (0, 1):
+                begins, rls, ref_begins = draws[h]
+                i = cursors[h]
+                while i < len(begins) and ref_begins[i] < s1:
+                    r = build_read(hap_seqs[h], hap_ref[h], int(begins[i]),
+                                   int(rls[i]), flag_state[0] % 3 == 0)
+                    flag_state[0] += 1
+                    if r is not None:
+                        reads.append(r)
+                    i += 1
+                cursors[h] = i
+            if reads:
+                w.write_batch(make_read_batch("chr1", reads).sorted_by_begin(),
+                              sample="SIM")
     build_bai(bam)
     return fa, bam, truth, n
 
@@ -196,6 +235,30 @@ def phasing_stats(records, truth, tol=5):
             "ps_n50": n50, "n_phase_sets": len(ps_span)}
 
 
+def qual_calibration(records, truth, tol=5, field=None):
+    """Empirical calibration curve: calls binned by QUAL (or a phred INFO
+    field), each bin reporting call count + false calls.  A calibrated
+    caller's bin error rate tracks the phred expectation 10^(-Q/10)
+    (phred semantics src/basics/phred.hpp:99-116; QUAL assembly
+    caller.cpp).  Keys are the bin's lower phred bound."""
+    truth_pos = np.asarray(sorted(truth))
+    bins: dict = {}
+    for r in records:
+        if field is not None:
+            v = r.info.get(field)
+            if v is None:
+                continue
+            q = float(v)
+        else:
+            q = r.qual or 0.0
+        b = min(int(q // 10) * 10, 100)
+        p0 = r.pos - 1
+        ok = len(truth_pos) and int(np.abs(truth_pos - p0).min()) <= tol
+        n, e = bins.get(b, (0, 0))
+        bins[b] = (n + 1, e + (0 if ok else 1))
+    return {str(b): {"n": n, "err": e} for b, (n, e) in sorted(bins.items())}
+
+
 def main():
     kb = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -209,7 +272,10 @@ def main():
         fa, bam, truth, n = simulate(tmp, kb, depth,
                                      read_len_range=(5000, 15000),
                                      err=0.01, base_qual=23)
-        extra = ["--sequence-error-model", "PCR-FREE.PACBIO-CCS"]
+        # the shipped preset: linked 500 bp fragmentation + PACBIO discovery
+        # (reference resources/configs/PacBioCCS.config)
+        extra = ["--config", os.path.join(os.path.dirname(__file__),
+                                          "resources/configs/PacBioCCS.config")]
     else:
         fa, bam, truth, n = simulate(tmp, kb, depth)
         extra = []
@@ -225,12 +291,13 @@ def main():
     # this across a whole-genome run)
     from octopus_tpu.core.likelihood.likelihood_array import warm_kernels
     warm_kernels(read_lengths=(150,))
-    warm = build_parser().parse_args(["-R", fa, "-I", bam,
-                                      "-o", os.path.join(tmp, "warm.vcf"),
-                                      "-T", "chr1:1-10000", *extra])
+    from octopus_tpu.config.options import parse_args_with_config
+    warm = parse_args_with_config(["-R", fa, "-I", bam,
+                                   "-o", os.path.join(tmp, "warm.vcf"),
+                                   "-T", "chr1:1-10000", *extra])
     run_calling(warm)
-    args = build_parser().parse_args(["-R", fa, "-I", bam, "-o", out, "-T", "chr1",
-                                      "--threads", "8", "--benchmark", *extra])
+    args = parse_args_with_config(["-R", fa, "-I", bam, "-o", out, "-T", "chr1",
+                                   "--threads", "8", "--benchmark", *extra])
     from octopus_tpu.utils import timers
     timers.reset()
     import resource
@@ -279,6 +346,7 @@ def main():
         "peak_rss_mb": peak_rss_mb,
         "rss_after_sim_mb": rss_after_sim_mb,
         **phasing,
+        "qual_calibration": qual_calibration(records, truth),
     }))
 
 

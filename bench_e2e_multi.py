@@ -151,6 +151,9 @@ def bench_trio(kb=100, depth=30, seed=5):
     all_dn = {r.pos - 1 for r in _all_records(out) if r.info.get("DENOVO")}
     caller_tp = sum(1 for p in denovo if _near(all_dn, p))
     caller_fp = sum(1 for p in all_dn if not _near(denovo, p))
+    from bench_e2e import qual_calibration
+    dn_recs = [r for r in _all_records(out) if r.info.get("DENOVO")]
+    pp_cal = qual_calibration(dn_recs, {p: None for p in denovo}, field="PP")
     return {
         "metric": "e2e_trio_denovo", "kb": kb, "depth": depth,
         "wall_s": round(wall, 1),
@@ -159,6 +162,7 @@ def bench_trio(kb=100, depth=30, seed=5):
         "caller_denovo_recall": round(caller_tp / len(denovo), 4),
         "caller_denovo_fp": caller_fp,
         "germline_recall": round(germ_tp / max(len(germline), 1), 4),
+        "denovo_pp_calibration": pp_cal,
     }
 
 
@@ -226,12 +230,16 @@ def bench_cancer(kb=100, depth=60, seed=7, vaf=0.25):
     som_called = {r.pos - 1 for r in recs if r.info.get("SOMATIC")}
     tp = sum(1 for p in somatic if _near(som_called, p))
     fp = sum(1 for p in som_called if not _near(somatic, p))
+    from bench_e2e import qual_calibration
+    som_recs = [r for r in _all_records(out) if r.info.get("SOMATIC")]
+    pp_cal = qual_calibration(som_recs, {p: None for p in somatic}, field="PP")
     return {
         "metric": "e2e_cancer_somatic", "kb": kb, "depth": depth, "vaf": vaf,
         "wall_s": round(wall, 1),
         "n_somatic": len(somatic),
         "somatic_recall": round(tp / len(somatic), 4),
         "somatic_fp": fp,
+        "somatic_pp_calibration": pp_cal,
     }
 
 

@@ -353,7 +353,17 @@ def parse_args_with_config(argv=None):
                     continue
                 if "=" in line and not line.startswith("-"):
                     k, _, v = line.partition("=")
-                    file_args.extend([f"--{k.strip()}", *shlex.split(v)])
+                    k, v = k.strip(), v.strip()
+                    # reference config style: boolean flags as key=true/false
+                    # (resources/configs/PacBioCCS.config split-long-reads=true)
+                    if v.lower() in ("true", "yes"):
+                        file_args.append(f"--{k}")
+                    elif v.lower() in ("false", "no"):
+                        pass
+                    else:
+                        file_args.extend([f"--{k}", *shlex.split(v)])
+                elif not line.startswith("-"):
+                    file_args.append(f"--{line}")    # bare flag
                 else:
                     file_args.extend(shlex.split(line))
         # command line wins over config file: parse file first, then overlay

@@ -46,6 +46,15 @@ def _assignment_from_matrix(lnL: np.ndarray, unique_haps: list[int],
     return Assignment(hap_of_read, support, best_lnl)
 
 
+def _assignment_model_config() -> LikelihoodConfig:
+    """The reference's make_default_haplotype_likelihood_model for read
+    assignment (read_assigner.cpp:366-373): NO mapping-quality mixture (the
+    mismap floor would tie every fragment of a noisy long read — raw HMM
+    scores must discriminate), max_indel_error=8, no flank state."""
+    return LikelihoodConfig(use_mapping_quality=False, max_indel_error=8,
+                            use_flank_state=False)
+
+
 def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
                  genotype: list[int], hap_begin: int,
                  config: LikelihoodConfig | None = None,
@@ -53,7 +62,7 @@ def assign_reads(batch: ReadBatch, haplotypes: list[Haplotype],
     """Assign reads to the haplotypes of a called genotype by likelihood."""
     from ..likelihood.likelihood_array import select_band
     unique_haps = sorted(set(genotype))
-    cfg = config or LikelihoodConfig()
+    cfg = config or _assignment_model_config()
     arr = HaplotypeLikelihoodArray(cfg)
     seqs = [haplotypes[h].sequence for h in unique_haps]
     masks = [haplotypes[h].substitution_mask() for h in unique_haps]
@@ -80,7 +89,7 @@ def assign_reads_grouped(jobs, config: LikelihoodConfig | None = None,
     """
     from ..likelihood.likelihood_array import (
         populate_assignment_blocks, select_band)
-    cfg = config or LikelihoodConfig()
+    cfg = config or _assignment_model_config()
     packed = []
     for batch, haplotypes, hap_begin in jobs:
         seqs = [h.sequence for h in haplotypes]

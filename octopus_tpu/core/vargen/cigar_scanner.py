@@ -310,6 +310,17 @@ class CigarScanner:
             return any(_is_good_somatic(v, d, fd, fs, es, list(q), 0.2, 0.5, 15,
                                         opt.allow_strand_bias)
                        for _, d, fd, q, fs, es in sample_stats)
+        if opt.inclusion == "pacbio":
+            # PacBioInclusionPredicate (cigar_scanner.cpp:734-799): VAF
+            # thresholds tiered by variant class/size, any sample or pooled
+            if any(_is_good_pacbio(v, d, list(q))
+                   for _, d, _, q, _, _ in sample_stats):
+                return True
+            if len(sample_stats) > 1:
+                tot_d = min_depth(total_cov, v.begin, v.end)
+                tot_q = [q for st in sample_stats for q in st[3]]
+                return _is_good_pacbio(v, tot_d, tot_q)
+            return False
         raise ValueError(f"unknown inclusion predicate {opt.inclusion}")
 
 
@@ -384,6 +395,41 @@ def _is_tandem_repeat_seq(codes: np.ndarray, max_period: int = 4) -> bool:
         if n >= 2 * p and np.array_equal(codes[p:], codes[:-p]):
             return True
     return False
+
+
+def _is_good_pacbio(v: Variant, depth, quals) -> bool:
+    """is_good_pacbio (cigar_scanner.cpp:734-770): support/VAF tiers by
+    variant class and size — noisy long reads need VAF evidence, not base
+    qualities."""
+    support = len(quals)
+    vaf = support / max(depth, 1)
+    if v.is_insertion():
+        alt_size = len(v.alt_codes)
+        if alt_size > 500:
+            return True
+        if alt_size > 200:
+            return vaf > 0.02
+        if alt_size > 20:
+            return vaf > 0.05
+        if support < 2:
+            return False
+        if alt_size <= 2:
+            return vaf > 0.2
+        if alt_size < 4:
+            return vaf > 0.1
+        return vaf > 0.05
+    if v.is_deletion() or (v.end - v.begin) > 1:     # deletion or mnv
+        size = v.end - v.begin
+        if size > 50:
+            return vaf > 0.1
+        if support < 2:
+            return False
+        if size <= 2:
+            return vaf > 0.2
+        if size < 4:
+            return vaf > 0.1
+        return vaf > 0.05
+    return support > 1 and vaf > 0.1                 # snv
 
 
 def _is_good_germline(v: Variant, depth, fwd_depth, fwd_support, quals,
