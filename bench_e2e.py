@@ -31,9 +31,11 @@ def write_reference(tmp, seq):
 
 
 def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
-             read_len_range=None, base_qual=37):
+             read_len_range=None, base_qual=37, err_qual=None):
     """read_len_range=(lo, hi) simulates variable-length long reads (CCS
-    style) with `err` random substitutions; default is 150 bp Illumina."""
+    style) with `err` random substitutions; default is 150 bp Illumina.
+    err_qual: quality assigned to error bases (real sequencers flag most
+    miscalls with reduced baseQ; None = same as base_qual)."""
     from octopus_tpu.basics.reads import make_read_batch, FLAG_REVERSE
     from octopus_tpu.io.bam_writer import BamWriter, build_bai
 
@@ -123,8 +125,11 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
 
     def build_read(hap, refc, begin, rl, rev):
         s = list(hap[begin:begin + rl])
+        q = [base_qual] * rl
         for j in np.flatnonzero(rng.random(rl) < err):
             s[j] = "ACGT"[rng.integers(0, 4)]
+            if err_qual is not None:
+                q[j] = err_qual
         rc = refc[begin:begin + rl]
         aligned = np.flatnonzero(rc >= 0)
         if not len(aligned):
@@ -153,7 +158,7 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
         if cig and cig[-1].endswith("I"):              # trailing ins → softclip
             cig[-1] = cig[-1][:-1] + "S"
         return (int(rc[aligned[0]]), "".join(cig), "".join(s),
-                [base_qual] * rl, 60, FLAG_REVERSE if rev else 0)
+                q, 60, FLAG_REVERSE if rev else 0)
 
     with BamWriter(bam, ["chr1"], [n], samples=["SIM"]) as w:
         cursors = [0, 0]
@@ -262,16 +267,20 @@ def qual_calibration(records, truth, tol=5, field=None):
 def main():
     kb = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    long_reads = len(sys.argv) > 3 and sys.argv[3] == "long"
+    long_reads = len(sys.argv) > 3 and sys.argv[3] in ("long", "longhard")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/octopus_tpu_jax_cache")
     tmp = tempfile.mkdtemp()
     if long_reads:
-        # PacBio-CCS-style: 5-15 kb reads, ~1% error, q23 bases
-        # (error_model_factory.cpp PacBioCCS preset; resources/configs/
-        # PacBioCCS.config)
-        fa, bam, truth, n = simulate(tmp, kb, depth,
-                                     read_len_range=(5000, 15000),
-                                     err=0.01, base_qual=23)
+        # PacBio-HiFi-style: 5-15 kb reads, Q30 bases, 0.4% substitutions
+        # with error bases carrying reduced baseQ (real CCS flags most
+        # miscalls); harsher profiles via `longhard` (1% err, flat q23 —
+        # a stress setting well below real HiFi quality)
+        hard = sys.argv[3] == "longhard"
+        fa, bam, truth, n = simulate(
+            tmp, kb, depth, read_len_range=(5000, 15000),
+            err=0.01 if hard else 0.004,
+            base_qual=23 if hard else 30,
+            err_qual=None if hard else 13)
         # the shipped preset: linked 500 bp fragmentation + PACBIO discovery
         # (reference resources/configs/PacBioCCS.config)
         extra = ["--config", os.path.join(os.path.dirname(__file__),

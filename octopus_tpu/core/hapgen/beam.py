@@ -13,6 +13,8 @@ rounds instead (the role of the reference's holdout stack).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..likelihood.likelihood_array import HaplotypeLikelihoodArray, LikelihoodConfig
@@ -84,6 +86,30 @@ def _prune_paths(paths, begin, end, ref_fetch, reads_by_sample, keep,
                  for b in reads_by_sample]
     if any(len(b) for b in contained):
         reads_by_sample = contained
+    # reads overlapping only UNANIMOUS variant decisions (in every surviving
+    # path, or in none) score identically on every path and cannot change
+    # the ranking; restrict to the span of DISAGREEING variants (the live
+    # branches of the reference's haplotype tree) — dense noisy regions
+    # otherwise re-score every fragment at every pruning round
+    from collections import Counter
+    cnt = Counter(v for p in paths for v in p)
+    live = [v for v, c in cnt.items() if c != len(paths)]
+    if live:
+        lo_v = min(v.begin for v in live) - 64
+        hi_v = max(v.end for v in live) + 64
+        focused = [b.take((b.begins < hi_v) & (b.ends > lo_v))
+                   for b in reads_by_sample]
+        if any(len(b) for b in focused):
+            reads_by_sample = focused
+    # ranking ~max_haplotypes paths needs read VOTES, not every read: cap
+    # the pruning read set with an evenly-spaced (begin-sorted, so
+    # coverage-uniform) deterministic subsample — deep fragment piles
+    # otherwise make every pruning round O(paths x full depth)
+    cap = int(os.environ.get("OCTOPUS_TPU_PRUNE_READS", "96"))
+    reads_by_sample = [
+        b if len(b) <= cap
+        else b.take(np.linspace(0, len(b) - 1, cap).astype(np.int64))
+        for b in reads_by_sample]
     haps = [Haplotype.build(begin, end, p, ref_fetch) for p in paths]
     arr = HaplotypeLikelihoodArray(likelihood_config or LikelihoodConfig())
     arr.populate(reads_by_sample, [h.sequence for h in haps], begin,

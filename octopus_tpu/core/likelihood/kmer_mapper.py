@@ -104,13 +104,31 @@ class HaplotypeKmerIndex:
         # vote histogram per (read, begin)
         max_begin = int(begin.max()) + 1
         key = read_of * max_begin + begin
-        votes = np.bincount(key, minlength=n_reads * max_begin).reshape(n_reads, max_begin)
-        best = votes.max(axis=1)
-        # all argmax positions at once (row-major nonzero is grouped by read,
-        # begins ascending); best==0 rows would match every column, so
-        # compare against -1 there
-        tgt = np.where(best > 0, best, -1)
-        rows, cols = np.nonzero(votes == tgt[:, None])
+        if n_reads * max_begin > (1 << 21):
+            # sparse path: the dense (n_reads, hap_len) histogram is O(R*L)
+            # memory+time and dominates long-haplotype populates (500 bp
+            # fragment batches against multi-kb haplotypes); run-length
+            # encode the sorted keys instead — O(matches log matches)
+            sk = np.sort(key, kind="stable")
+            starts_ = np.concatenate(
+                ([0], np.flatnonzero(np.diff(sk)) + 1))
+            uniq = sk[starts_]
+            counts_k = np.diff(np.concatenate((starts_, [len(sk)])))
+            r = uniq // max_begin
+            b = uniq % max_begin
+            best = np.zeros(n_reads, np.int64)
+            np.maximum.at(best, r, counts_k)
+            is_best = counts_k == best[r]
+            rows, cols = r[is_best], b[is_best]
+        else:
+            votes = np.bincount(key, minlength=n_reads * max_begin).reshape(
+                n_reads, max_begin)
+            best = votes.max(axis=1)
+            # all argmax positions at once (row-major nonzero is grouped by
+            # read, begins ascending); best==0 rows would match every
+            # column, so compare against -1 there
+            tgt = np.where(best > 0, best, -1)
+            rows, cols = np.nonzero(votes == tgt[:, None])
         # keep the first max_positions begins per read (ascending)
         counts = np.bincount(rows, minlength=n_reads)
         offs = np.zeros(n_reads + 1, np.int64)

@@ -636,8 +636,10 @@ def pairhmm_scores(tgt, qual, win, opn, ext, mask, prior, *, pad=8,
     # window tracks in VMEM with pipeline double-buffering; past ~1 kb reads
     # that exceeds the 16 MB scoped-vmem budget, so long-read batches ride
     # the XLA wavefront path instead (no VMEM ceiling)
+    # measured: R=512 with the K=4 grouped v12 launch allocates 16.38 MB
+    # scoped vmem vs the 16 MB limit (compile OOM); 384 leaves headroom
     max_pallas_len = int(os.environ.get("OCTOPUS_TPU_MAX_PALLAS_READ_LEN",
-                                        1024))
+                                        384))
     if (platform == "tpu" and tgt.shape[0] % LANES == 0
             and tgt.shape[1] <= max_pallas_len
             and os.environ.get("OCTOPUS_TPU_FORCE_XLA") != "1"):
