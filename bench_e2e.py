@@ -88,6 +88,13 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
                 refc.append(ref_i if k == 0 else -1)
         hap_seqs.append("".join(chars))
         hap_ref.append(np.asarray(refc))
+    del haps     # 2 x genome-size lists of piece strings (GBs at chr20 scale)
+    # the retained truth/haplotype structures hold millions of containers;
+    # without freezing them, every gen-2 GC pass rescans the whole heap and
+    # the per-read loop degrades superlinearly with genome size
+    import gc
+    gc.collect()
+    gc.freeze()
     mean_len = (read_len if read_len_range is None
                 else (read_len_range[0] + read_len_range[1]) // 2)
     n_reads = int(n * depth / mean_len)
@@ -160,9 +167,14 @@ def simulate(tmp, kb=500, depth=30, read_len=150, seed=11, err=0.001,
         return (int(rc[aligned[0]]), "".join(cig), "".join(s),
                 q, 60, FLAG_REVERSE if rev else 0)
 
+    t_slab = time.time()
     with BamWriter(bam, ["chr1"], [n], samples=["SIM"]) as w:
         cursors = [0, 0]
         for s0 in range(0, n + slab, slab):
+            if s0 and s0 % (20 * slab) == 0:
+                print(f"sim: {s0/1e6:.0f}/{n/1e6:.0f} Mb "
+                      f"({time.time()-t_slab:.0f}s)", file=sys.stderr)
+                t_slab = time.time()
             s1 = s0 + slab
             reads = []
             for h in (0, 1):
