@@ -77,6 +77,15 @@ def run_filter_vcf(args) -> int:
         bundle, per_sample, merged, span = _block_facets(
             block, calls, buffered, samples, reference)
         for rec, call in zip(block, calls):
+            # symbolic-ALT records (<DEL>, breakends...) have no literal
+            # allele sequence to score against reads; re-classifying them
+            # from ref-allele pileups would mislabel every one (AF=1) —
+            # pass through with their original FILTER
+            if rec.alts and all(a.startswith("<") and a != "<NON_REF>"
+                                for a in rec.alts):
+                writer.write(rec)
+                n += 1
+                continue
             pln = rec.info.get("PLN")
             ref_lo = max(call.begin - 120, 0)
             ref_hi = min(call.end + 120, reference.contig_size(rec.chrom))

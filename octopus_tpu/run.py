@@ -357,6 +357,17 @@ def _enable_cpu_compile_cache() -> None:
 
 
 def run_calling(args) -> int:
+    if getattr(args, "bamout", None) and str(args.bamout).endswith(".cram"):
+        # fail BEFORE calling: the evidence realigner writes BAM + BAI, and
+        # silently putting BAM bytes behind a .cram name corrupts downstream
+        # tooling (probe, round 5)
+        from .errors import UserError
+        raise UserError(
+            "--bamout CRAM output is not supported (the realigner's HP/PS/LK "
+            "evidence tags have no CRAM aux encoding in this build)",
+            where="bamout",
+            help="use a .bam path for --bamout; CRAM is supported for "
+                 "read INPUT (-I reads.cram)")
     _maybe_init_jax_distributed()
     _enable_cpu_compile_cache()
     if getattr(args, "profile", None):

@@ -91,3 +91,60 @@ def test_haploid_contig_ploidy(sim):
     for r in recs:
         gt = r.sample_values[0]["GT"].replace("|", "/")
         assert len(gt.split("/")) == 1
+
+
+def test_filter_vcf_symbolic_alt_passthrough(tmp_path):
+    """Foreign VCFs can carry symbolic ALTs (<DEL>, breakends); they have no
+    literal allele to score, so the standalone filter pass must write them
+    through untouched instead of mislabelling from ref-allele pileups
+    (round-5 probe)."""
+    import numpy as np
+    from octopus_tpu.basics.reads import make_read_batch
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+    from octopus_tpu.cli import main
+    from octopus_tpu.io.vcf import VcfReader
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 2000))
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, len(seq), 70):
+            fh.write(seq[i:i + 70] + "\n")
+    reads = [(int(rng.integers(0, 1900)), "100M", None, [37] * 100, 60, 0)]
+    reads = [(b, c, seq[b:b + 100], q, m, f) for b, c, _, q, m, f in reads
+             for _ in [0]] * 60
+    batch = make_read_batch("chr1", reads).sorted_by_begin()
+    bam = tmp_path / "s.bam"
+    with BamWriter(str(bam), ["chr1"], [2000], samples=["S"]) as w:
+        w.write_batch(batch, sample="S")
+    build_bai(str(bam))
+    vcf = tmp_path / "in.vcf"
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=chr1,length=2000>\n")
+        fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+        fh.write(f"chr1\t700\t.\t{seq[699]}\t<DEL>\t33\tq10\t.\tGT\t0/1\n")
+    out = tmp_path / "out.vcf"
+    rc = main(["-R", str(fa), "-I", str(bam), "--filter-vcf", str(vcf),
+               "-o", str(out), "--annotations", "AF"])
+    assert rc == 0
+    recs = VcfReader(str(out)).records()
+    assert len(recs) == 1
+    assert recs[0].alts == ["<DEL>"]
+    assert recs[0].filters == ["q10"]         # untouched
+    assert "AF" not in recs[0].info           # not annotated from pileup
+
+
+def test_bamout_cram_path_is_clear_user_error(tmp_path, capsys):
+    """--bamout foo.cram used to write BAM bytes behind a .cram name; it now
+    fails up-front with a structured UserError (round-5 probe)."""
+    from octopus_tpu.cli import main
+
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1\n" + "ACGT" * 200 + "\n")
+    rc = main(["-R", str(fa), "-I", "missing.bam", "-o", str(tmp_path / "o.vcf"),
+               "--bamout", str(tmp_path / "e.cram")])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "CRAM" in err and "--bamout" in err
