@@ -459,6 +459,20 @@ def _setup_components(args):
             from .errors import MissingSampleError
             raise MissingSampleError(sorted(missing), samples)
         samples = [s for s in samples if s in wanted]
+    # the trio caller is defined over exactly (maternal, paternal, child);
+    # a 4th sample would be silently dropped by the trio ordering otherwise
+    # (the reference validates this at collation, option_collation.cpp)
+    wants_trio = (getattr(args, "caller", "auto") == "trio"
+                  or (getattr(args, "maternal_sample", None)
+                      and getattr(args, "paternal_sample", None)))
+    if wants_trio and len(samples) != 3:
+        from .errors import UserError
+        raise UserError(
+            f"the trio caller needs exactly 3 samples "
+            f"(maternal, paternal, child); got {len(samples)}: {samples}",
+            where="_setup_components",
+            help="restrict with --samples MOM DAD KID, or use "
+                 "--caller population for larger pedigrees")
     one_based = getattr(args, "one_based_indexing", False)
     if args.regions:
         regions = [parse_region(r, reference, one_based) for r in args.regions]

@@ -148,3 +148,38 @@ def test_bamout_cram_path_is_clear_user_error(tmp_path, capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "CRAM" in err and "--bamout" in err
+
+
+def test_trio_caller_rejects_four_samples(tmp_path, capsys):
+    """A 4th sample would be silently dropped by the trio ordering
+    (round-5 pedigree probe); the trio caller now requires exactly 3."""
+    import numpy as np
+    from octopus_tpu.basics.reads import make_read_batch
+    from octopus_tpu.io.bam_writer import BamWriter, build_bai
+    from octopus_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 1500))
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n" + seq + "\n")
+    bams = []
+    for name in ("MOM", "DAD", "KID1", "KID2"):
+        reads = [(int(rng.integers(0, 1400)), "100M", None, [37] * 100, 60, 0)
+                 for _ in range(50)]
+        reads = [(b, c, seq[b:b + 100], q, m, f) for b, c, _, q, m, f in reads]
+        batch = make_read_batch("chr1", reads).sorted_by_begin()
+        p = tmp_path / f"{name}.bam"
+        with BamWriter(str(p), ["chr1"], [1500], samples=[name]) as w:
+            w.write_batch(batch, sample=name)
+        build_bai(str(p))
+        bams.append(str(p))
+    rc = main(["-R", str(fa), "-I", *bams, "-o", str(tmp_path / "o.vcf"),
+               "-T", "chr1", "-M", "MOM", "-F", "DAD"])
+    assert rc == 2
+    assert "exactly 3 samples" in capsys.readouterr().err
+    # restricting with --samples makes it runnable
+    rc = main(["-R", str(fa), "-I", *bams, "-o", str(tmp_path / "o2.vcf"),
+               "-T", "chr1", "-M", "MOM", "-F", "DAD",
+               "--samples", "MOM", "DAD", "KID1"])
+    assert rc == 0
