@@ -205,7 +205,7 @@ def phasing_stats(records, truth, tol=5):
     The GT column order within a phase set is arbitrary, so accuracy is
     pairwise: a switch = adjacent het pair whose called relative
     orientation (same side vs opposite side) disagrees with truth."""
-    truth_pos = sorted(truth)
+    truth_pos = np.asarray(sorted(truth))
     by_ps: dict = {}
     ps_span: dict = {}
     for r in records:
@@ -223,10 +223,14 @@ def phasing_stats(records, truth, tol=5):
         if len(halves) != 2 or halves[0] == halves[1]:
             continue
         p0 = r.pos - 1
-        match = [q for q in truth_pos if abs(q - p0) <= tol]
-        if not match:
+        if not len(truth_pos):
             continue
-        _, zyg, members = truth[match[0]]
+        j = int(np.searchsorted(truth_pos, p0))
+        near = [int(truth_pos[k]) for k in (j - 1, j)
+                if 0 <= k < len(truth_pos) and abs(int(truth_pos[k]) - p0) <= tol]
+        if not near:
+            continue
+        _, zyg, members = truth[near[0]]
         if zyg != "het" or len(members) != 1:
             continue
         alt_side = 0 if halves[0] != "0" else 1
@@ -340,16 +344,26 @@ def main():
     called_any = {r.pos - 1 for r in all_records} | {r.pos for r in all_records}
     called = {r.pos - 1 for r in records}
     called |= {r.pos for r in records}       # indel anchor offset tolerance
-    tp = sum(1 for p in truth
-             if any(abs(p - c) <= 5 for c in called))
-    tp_any = sum(1 for p in truth
-                 if any(abs(p - c) <= 5 for c in called_any))
-    fp = 0
-    truth_pos = np.asarray(sorted(truth))
-    for r in records:
-        p = r.pos - 1
-        if not len(truth_pos) or np.abs(truth_pos - p).min() > 5:
-            fp += 1
+
+    def count_near(points, targets, tol=5):
+        """|{p in points : min |p - t|, t in targets <= tol}| — sorted
+        searchsorted instead of the former O(|points| x |targets|) scan
+        (which took longer than the 63 Mb calling run it was evaluating)."""
+        if not points or not targets:
+            return 0
+        ts = np.asarray(sorted(targets))
+        ps = np.asarray(sorted(points))
+        j = np.searchsorted(ts, ps)
+        near = np.zeros(len(ps), bool)
+        for off in (-1, 0):
+            k = np.clip(j + off, 0, len(ts) - 1)
+            near |= np.abs(ts[k] - ps) <= tol
+        return int(near.sum())
+
+    tp = count_near(list(truth), called)
+    tp_any = count_near(list(truth), called_any)
+    truth_pos = sorted(truth)
+    fp = len(records) - count_near([r.pos - 1 for r in records], truth_pos)
     recall = tp / max(len(truth), 1)
     precision = (len(records) - fp) / max(len(records), 1)
     phasing = phasing_stats(records, truth)
