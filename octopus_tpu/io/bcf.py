@@ -386,6 +386,11 @@ class BcfReader:
             qual_bits = struct.unpack_from("<I", data, cur.off)[0]
             qual = (None if qual_bits in (_FLOAT_MISSING_BITS, _FLOAT_EOV_BITS)
                     else struct.unpack("<f", struct.pack("<I", qual_bits))[0])
+            if qual is not None:
+                # shortest faithful decimal of the stored float32: a QUAL
+                # written as 289.22 must re-serialise as 289.22, not the
+                # float64 expansion 289.2200012207 (htslib prints %g too)
+                qual = float(f"{qual:.6g}")
             cur.off += 4
             packed1, packed2 = struct.unpack_from("<II", data, cur.off)
             cur.off += 8

@@ -96,3 +96,26 @@ def test_cli_bcf_output():
     recs = VcfReader(out).records()
     assert any(r.pos == 3001 and r.filters == ["PASS"] for r in recs), \
         [(r.pos, r.filters) for r in recs]
+
+
+def test_bcf_qual_reserialises_exactly(tmp_path):
+    """QUAL is stored as float32 in BCF; re-serialising must print the
+    shortest faithful decimal (289.22), not the float64 expansion
+    (289.2200012207) — caught round-tripping a 52k-record chr20-scale call
+    set (round-5 probe)."""
+    from octopus_tpu.io.vcf import VcfHeader, VcfRecord
+    from octopus_tpu.io.bcf import BcfReader, BcfWriter
+
+    header = VcfHeader(contigs=[("chr1", 1000)], samples=["S"])
+    header.add_format("GT", "1", "String", "gt")
+    rec = VcfRecord(chrom="chr1", pos=10, id=".", ref="A", alts=["T"],
+                    qual=289.22, filters=["PASS"], info={},
+                    format_keys=["GT"], sample_values=[{"GT": "0/1"}])
+    p = tmp_path / "x.bcf"
+    w = BcfWriter(str(p), header)
+    w.write(rec)
+    w.close()
+    back = BcfReader(str(p)).records()
+    assert len(back) == 1
+    assert back[0].to_line() == rec.to_line()
+    assert "289.22\t" in back[0].to_line()
