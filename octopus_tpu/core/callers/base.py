@@ -221,21 +221,22 @@ class CallerBase:
             max_variants_per_region=None)
         if defer_at and any(len(vs) >= defer_at for _, _, vs in regions_list):
             raise HeavyWindowDeferred(region_begin, region_end)
+        # per-sample typical depths, once per window (the reference keeps a
+        # per-sample average_depths map, bad_region_detector.hpp:71):
+        # pooling multi-sample reads against one sample's typical depth
+        # would misread every N-sample region as an N-fold depth spike
+        typical_by_sample = ([median_depth(b) if len(b) else 0.0
+                              for b in reads_by_sample]
+                             if bad_region_config is not None else None)
         for begin, end, variants in regions_list:
+            severity = Severity.NONE
             if bad_region_config is not None:
-                # per-sample depth profiles (the reference keeps a per-sample
-                # average_depths map, bad_region_detector.hpp:71): pooling
-                # multi-sample reads against one sample's typical depth would
-                # misread every N-sample region as an N-fold depth spike
-                severity = Severity.NONE
-                for b in reads_by_sample:
+                for b, typ in zip(reads_by_sample, typical_by_sample):
                     if len(b):
                         s = assess_region(b, begin, end, len(variants),
-                                          median_depth(b), bad_region_config)
+                                          typ, bad_region_config)
                         if s.value > severity.value:
                             severity = s
-            else:
-                severity = Severity.NONE
             if severity == Severity.HIGH:
                 continue   # candidates erased (caller.cpp:185-199)
             if len(variants) <= self.MAX_DIRECT_VARIANTS:
