@@ -244,13 +244,18 @@ def is_not_duplicate(batch: ReadBatch, candidate: np.ndarray | None = None) -> n
         key = (int(five_prime[i]), bool(is_rev[i]),
                batch.cigar(i).tobytes(), int(mate[i]))
         best = keys.get(key)
-        if best is None:
-            keys[key] = (i, int(quals64[s0:s1].sum()))
-            continue
+        # exact quality-sum ties break on sequence bytes, NOT input order:
+        # order-dependent ties made BAM- vs CRAM-sourced runs of identical
+        # read content call slightly different QUALs (round-5 probe; the
+        # reference's first-wins rule has the same order sensitivity)
         qsum = int(quals64[s0:s1].sum())
-        if qsum > best[1]:
+        seq_key = batch.seq[s0:s1].tobytes()
+        if best is None:
+            keys[key] = (i, qsum, seq_key)
+            continue
+        if (qsum, seq_key) > (best[1], best[2]):
             keep[best[0]] = False
-            keys[key] = (i, qsum)
+            keys[key] = (i, qsum, seq_key)
         else:
             keep[i] = False
     return keep
