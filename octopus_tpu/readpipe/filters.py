@@ -244,18 +244,21 @@ def is_not_duplicate(batch: ReadBatch, candidate: np.ndarray | None = None) -> n
         key = (int(five_prime[i]), bool(is_rev[i]),
                batch.cigar(i).tobytes(), int(mate[i]))
         best = keys.get(key)
-        # exact quality-sum ties break on sequence bytes, NOT input order:
-        # order-dependent ties made BAM- vs CRAM-sourced runs of identical
-        # read content call slightly different QUALs (round-5 probe; the
-        # reference's first-wins rule has the same order sensitivity)
+        # exact quality-sum ties keep the FIRST read in input order — the
+        # reference's rule (read_filter.hpp:330 IsNotDuplicate). A round-5
+        # probe showed this makes BAM- vs CRAM-sourced runs of identical
+        # read content differ at 2/1679 records (CRAM decode re-orders
+        # ties); content-based tie-breaks were tried and rejected — they
+        # measurably shifted duplicate selection in tie-saturated data
+        # (byte-max is also allele-biased), and the reference shares the
+        # order sensitivity
         qsum = int(quals64[s0:s1].sum())
-        seq_key = batch.seq[s0:s1].tobytes()
         if best is None:
-            keys[key] = (i, qsum, seq_key)
+            keys[key] = (i, qsum)
             continue
-        if (qsum, seq_key) > (best[1], best[2]):
+        if qsum > best[1]:
             keep[best[0]] = False
-            keys[key] = (i, qsum, seq_key)
+            keys[key] = (i, qsum)
         else:
             keep[i] = False
     return keep
